@@ -1,0 +1,338 @@
+"""Command-line interface mirroring CoverM's (cli.rs, bin/coverm.rs).
+
+Subcommands: genome, contig, filter, make, makedb, shell-completion.
+Flag names and defaults follow cli.rs (genome defaults cli.rs:2027-2100,
+contig defaults cli.rs:2501-2574); the estimator/taker/printer wiring
+follows EstimatorsAndTaker::generate_from_clap (coverm.rs:1314-1504).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from . import CONCATENATED_FASTA_FILE_SEPARATOR, __version__
+from .estimators import (ANIrEstimator, CoveredBasesEstimator,
+                         CoveredFractionEstimator, LengthEstimator,
+                         MeanEstimator, PileupCountsEstimator,
+                         RPKMEstimator, ReadCountEstimator,
+                         ReadsPerBaseEstimator, TPMEstimator,
+                         TrimmedMeanEstimator, VarianceEstimator)
+from .flags import FlagFilter
+from .printers import (DenseCachedCoveragePrinter, MetabatAdjustedCoveragePrinter,
+                       SparseCachedCoveragePrinter, StreamedCoveragePrinter)
+from .readfilter import FilterParams
+from .takers import (CachedCoverageTaker, OutputWriter, PileupCoverageTaker,
+                     StreamingCoverageTaker)
+
+METHODS = [
+    "relative_abundance", "mean", "trimmed_mean", "coverage_histogram",
+    "covered_bases", "covered_fraction", "variance", "length", "count",
+    "metabat", "reads_per_base", "rpkm", "tpm", "anir", "strobealign-aemb",
+]
+
+MAPPING_SOFTWARE_LIST = [
+    "bwa-mem", "bwa-mem2", "minimap2-sr", "minimap2-ont", "minimap2-pb",
+    "minimap2-hifi", "minimap2-lr-hq", "minimap2-no-preset", "strobealign",
+    "minibwa", "rammap-sr", "rammap-ont", "rammap-pb", "rammap-hifi",
+    "rammap-lr-hq", "rammap-no-preset",
+]
+DEFAULT_MAPPING_SOFTWARE = "strobealign"
+
+
+def parse_percentage(value: float, name: str) -> float:
+    """parse_percentage (coverm.rs:1296-1312): 1-100 are percentages."""
+    v = float(value)
+    if 1.0 <= v <= 100.0:
+        v /= 100.0
+    elif not (0.0 <= v <= 100.0):
+        raise SystemExit(f"Invalid alignment percentage: '{v}'")
+    return v
+
+
+def add_read_args(p):
+    p.add_argument("-1", dest="read1", nargs="+", default=None)
+    p.add_argument("-2", dest="read2", nargs="+", default=None)
+    p.add_argument("-c", "--coupled", nargs="+", default=None)
+    p.add_argument("--interleaved", nargs="+", default=None)
+    p.add_argument("--single", nargs="+", default=None)
+    p.add_argument("-r", "--reference", nargs="+", default=None)
+    p.add_argument("-p", "--mapper", default=DEFAULT_MAPPING_SOFTWARE,
+                   choices=MAPPING_SOFTWARE_LIST)
+    p.add_argument("--minimap2-params", default=None)
+    p.add_argument("--minimap2-reference-is-index", action="store_true")
+    p.add_argument("--bwa-params", default=None)
+    p.add_argument("--strobealign-params", default=None)
+    p.add_argument("--rammap-params", default=None)
+
+
+def add_filter_thresholds(p):
+    p.add_argument("--min-read-aligned-length", type=int, default=0)
+    p.add_argument("--min-read-percent-identity", type=float, default=0.0)
+    p.add_argument("--min-read-aligned-percent", type=float, default=0.0)
+    p.add_argument("--min-read-aligned-length-pair", type=int, default=0)
+    p.add_argument("--min-read-percent-identity-pair", type=float, default=0.0)
+    p.add_argument("--min-read-aligned-percent-pair", type=float, default=0.0)
+    p.add_argument("--min-mapq", type=int, default=255)
+    p.add_argument("--proper-pairs-only", action="store_true")
+    p.add_argument("--include-secondary", action="store_true")
+    p.add_argument("--exclude-supplementary", action="store_true")
+
+
+def add_coverage_args(p, genome_mode: bool):
+    default_method = "relative_abundance" if genome_mode else "mean"
+    default_min_frac = "10" if genome_mode else "0"
+    p.add_argument("-m", "--methods", nargs="+", default=[default_method],
+                   choices=METHODS)
+    p.add_argument("--min-covered-fraction", type=float,
+                   default=float(default_min_frac))
+    p.add_argument("--contig-end-exclusion", type=int, default=75)
+    p.add_argument("--trim-min", type=float, default=5.0)
+    p.add_argument("--trim-max", type=float, default=95.0)
+    p.add_argument("--no-zeros", action="store_true")
+    p.add_argument("--output-format", default="dense", choices=["sparse", "dense"])
+    p.add_argument("-o", "--output-file", default=None)
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-b", "--bam-files", nargs="+", default=None)
+    p.add_argument("--sharded", action="store_true")
+    p.add_argument("--discard-unmapped", action="store_true")
+    p.add_argument("--bam-file-cache-directory", default=None)
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("--gff", default=None)
+    p.add_argument("--gff-feature-type", default=None)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        prog="coverm-tpu",
+        description="Mapping coverage analysis of metagenomes (TPU-native engine)")
+    parser.add_argument("--version", action="version", version=__version__)
+    sub = parser.add_subparsers(dest="subcommand")
+
+    g = sub.add_parser("genome", help="Calculate coverage of genomes")
+    add_coverage_args(g, genome_mode=True)
+    add_read_args(g)
+    add_filter_thresholds(g)
+    g.add_argument("-s", "--separator", default=None)
+    g.add_argument("-f", "--genome-fasta-files", nargs="+", default=None)
+    g.add_argument("-d", "--genome-fasta-directory", default=None)
+    g.add_argument("-x", "--genome-fasta-extension", default="fna")
+    g.add_argument("--genome-fasta-list", default=None)
+    g.add_argument("--genome-definition", default=None)
+    g.add_argument("--single-genome", action="store_true")
+    g.add_argument("--use-full-contig-names", action="store_true")
+    g.add_argument("--exclude-genomes-from-deshard", default=None)
+    g.add_argument("--dereplicate", action="store_true")
+
+    c = sub.add_parser("contig", help="Calculate coverage of contigs")
+    add_coverage_args(c, genome_mode=False)
+    add_read_args(c)
+    add_filter_thresholds(c)
+
+    f = sub.add_parser("filter", help="Remove alignments with insufficient identity")
+    f.add_argument("-b", "--bam-files", nargs="+", required=True)
+    f.add_argument("-o", "--output-bam-files", nargs="+", required=True)
+    f.add_argument("--inverse", action="store_true")
+    f.add_argument("-t", "--threads", type=int, default=1)
+    f.add_argument("-v", "--verbose", action="store_true")
+    f.add_argument("-q", "--quiet", action="store_true")
+    add_filter_thresholds(f)
+
+    mk = sub.add_parser("make", help="Generate BAM files through mapping")
+    add_read_args(mk)
+    add_filter_thresholds(mk)
+    mk.add_argument("-o", "--output-directory", required=True)
+    mk.add_argument("-t", "--threads", type=int, default=1)
+    mk.add_argument("--discard-unmapped", action="store_true")
+    mk.add_argument("-v", "--verbose", action="store_true")
+    mk.add_argument("-q", "--quiet", action="store_true")
+
+    mdb = sub.add_parser("makedb", help="Generate a mapper database from genomes")
+    mdb.add_argument("-r", "--reference", nargs="+", default=None)
+    mdb.add_argument("-f", "--genome-fasta-files", nargs="+", default=None)
+    mdb.add_argument("-d", "--genome-fasta-directory", default=None)
+    mdb.add_argument("-x", "--genome-fasta-extension", default="fna")
+    mdb.add_argument("-o", "--output-directory", required=True)
+    mdb.add_argument("-p", "--mapper", default="minimap2-sr",
+                     choices=MAPPING_SOFTWARE_LIST)
+    mdb.add_argument("-t", "--threads", type=int, default=1)
+
+    sc = sub.add_parser("shell-completion", help="Generate shell completions")
+    sc.add_argument("--shell", required=True)
+    sc.add_argument("-o", "--output-file", required=True)
+
+    return parser
+
+
+class EstimatorsAndTaker:
+    """Translate method flags into estimators, taker and printer
+    (coverm.rs:1314-1504)."""
+
+    def __init__(self, args, stream: OutputWriter):
+        self.estimators = []
+        self.columns_to_normalise = []
+        self.rpkm_column = None
+        self.tpm_column = None
+        min_fraction_covered = parse_percentage(
+            args.min_covered_fraction, "min-covered-fraction")
+        ee = args.contig_end_exclusion
+        methods = args.methods
+
+        if "metabat" in methods:
+            if len(methods) > 1:
+                raise SystemExit(
+                    "Cannot specify the metabat method with any other coverage methods")
+            self.estimators = [
+                LengthEstimator(),
+                MeanEstimator(min_fraction_covered, ee, False),
+                VarianceEstimator(min_fraction_covered, ee),
+            ]
+            self.taker = CachedCoverageTaker(len(self.estimators))
+            self.printer = MetabatAdjustedCoveragePrinter()
+            return
+
+        for i, method in enumerate(methods):
+            if method == "mean":
+                self.estimators.append(MeanEstimator(min_fraction_covered, ee, False))
+            elif method == "coverage_histogram":
+                self.estimators.append(PileupCountsEstimator(min_fraction_covered, ee))
+            elif method == "trimmed_mean":
+                tmin = parse_percentage(args.trim_min, "trim-min")
+                tmax = parse_percentage(args.trim_max, "trim-max")
+                if tmin < 0 or tmin > 1 or tmax <= tmin or tmax > 1:
+                    raise SystemExit(
+                        f"error: Trim bounds must be between 0 and 1, and "
+                        f"min must be less than max, found {tmin} and {tmax}")
+                self.estimators.append(
+                    TrimmedMeanEstimator(tmin, tmax, min_fraction_covered, ee))
+            elif method == "covered_fraction":
+                self.estimators.append(CoveredFractionEstimator(min_fraction_covered))
+            elif method == "covered_bases":
+                self.estimators.append(CoveredBasesEstimator(min_fraction_covered))
+            elif method == "rpkm":
+                if self.rpkm_column is not None:
+                    raise SystemExit("The RPKM column cannot be specified more than once")
+                self.rpkm_column = i
+                self.estimators.append(RPKMEstimator(min_fraction_covered))
+            elif method == "tpm":
+                if self.tpm_column is not None:
+                    raise SystemExit("The TPM column cannot be specified more than once")
+                self.tpm_column = i
+                self.estimators.append(TPMEstimator(min_fraction_covered))
+            elif method == "variance":
+                self.estimators.append(VarianceEstimator(min_fraction_covered, ee))
+            elif method == "length":
+                self.estimators.append(LengthEstimator())
+            elif method == "relative_abundance":
+                self.columns_to_normalise.append(i)
+                self.estimators.append(MeanEstimator(min_fraction_covered, ee, False))
+            elif method == "count":
+                self.estimators.append(ReadCountEstimator())
+            elif method == "reads_per_base":
+                self.estimators.append(ReadsPerBaseEstimator())
+            elif method == "anir":
+                self.estimators.append(ANIrEstimator())
+            elif method == "strobealign-aemb":
+                if len(methods) > 1:
+                    raise SystemExit(
+                        "Cannot (currently) specify the strobealign-aemb method "
+                        "with any other coverage methods")
+                from .estimators import StrobealignAembEstimator
+                self.estimators.append(StrobealignAembEstimator())
+            else:
+                raise SystemExit(f"Unknown method {method}")
+
+        if "coverage_histogram" in methods:
+            if len(methods) > 1:
+                raise SystemExit(
+                    "Cannot specify the coverage_histogram method with any "
+                    "other coverage methods")
+            self.taker = PileupCoverageTaker(stream)
+            self.printer = StreamedCoveragePrinter()
+        elif (not self.columns_to_normalise and self.rpkm_column is None
+              and self.tpm_column is None and args.output_format == "sparse"):
+            self.taker = StreamingCoverageTaker(stream)
+            self.printer = StreamedCoveragePrinter()
+        else:
+            self.taker = CachedCoverageTaker(len(self.estimators))
+            if args.output_format == "sparse":
+                self.printer = SparseCachedCoveragePrinter()
+            else:
+                self.printer = DenseCachedCoveragePrinter()
+
+        if min_fraction_covered != 0.0:
+            bad = {
+                ReadCountEstimator: "counts", LengthEstimator: "length",
+                ReadsPerBaseEstimator: "reads_per_base", ANIrEstimator: "anir",
+            }
+            for e in self.estimators:
+                for cls, name in bad.items():
+                    if isinstance(e, cls):
+                        raise SystemExit(
+                            f"The '{name}' coverage estimator cannot be used "
+                            "when --min-covered-fraction is > 0 as it does not "
+                            "calculate the covered fraction. You may wish to "
+                            "set the --min-covered-fraction to 0 and/or run "
+                            "this estimator separately.")
+
+    def print_headers(self, entry_type: str, stream: OutputWriter):
+        headers = []
+        for e in self.estimators:
+            headers.extend(e.headers)
+        for i in self.columns_to_normalise:
+            headers[i] = "Relative Abundance (%)"
+        self.printer.print_headers(entry_type, headers, stream)
+
+
+def flag_filter_from_args(args) -> FlagFilter:
+    return FlagFilter(
+        include_improper_pairs=not args.proper_pairs_only,
+        include_secondary=args.include_secondary,
+        include_supplementary=not args.exclude_supplementary,
+    )
+
+
+def filter_params_from_args(args) -> FilterParams:
+    return FilterParams(
+        min_aligned_length_single=args.min_read_aligned_length,
+        min_percent_identity_single=parse_percentage(
+            args.min_read_percent_identity, "min-read-percent-identity"),
+        min_aligned_percent_single=parse_percentage(
+            args.min_read_aligned_percent, "min-read-aligned-percent"),
+        min_mapq=args.min_mapq,
+        min_aligned_length_pair=args.min_read_aligned_length_pair,
+        min_percent_identity_pair=parse_percentage(
+            args.min_read_percent_identity_pair, "min-read-percent-identity-pair"),
+        min_aligned_percent_pair=parse_percentage(
+            args.min_read_aligned_percent_pair, "min-read-aligned-percent-pair"),
+    )
+
+
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.subcommand is None:
+        parser.print_help()
+        return 1
+    from . import commands
+    if args.subcommand == "contig":
+        return commands.run_contig(args)
+    if args.subcommand == "genome":
+        return commands.run_genome(args)
+    if args.subcommand == "filter":
+        return commands.run_filter(args)
+    if args.subcommand == "make":
+        return commands.run_make(args)
+    if args.subcommand == "makedb":
+        return commands.run_makedb(args)
+    if args.subcommand == "shell-completion":
+        return commands.run_shell_completion(args)
+    parser.print_help()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,192 @@
+"""Subcommand implementations (the orchestration layer, bin/coverm.rs)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from . import CONCATENATED_FASTA_FILE_SEPARATOR
+from .cli import (EstimatorsAndTaker, filter_params_from_args,
+                  flag_filter_from_args)
+from .flags import FlagFilter
+from .genome_parsing import (read_genome_definition_file,
+                             read_genome_fasta_files)
+from .io import bgzf
+from .io.bam import BamReader
+from .modes import (BamFileSource, contig_coverage, genome_coverage_named,
+                    genome_coverage_separator)
+from .readfilter import FilterParams, apply_read_filter
+from .takers import OutputWriter
+
+
+class FilteredBamFileSource(BamFileSource):
+    """BAM source with inline read/pair filtering
+    (StreamingFilteredNamedBamReader semantics, bam_generator.rs:609-775)."""
+
+    def __init__(self, path, params: FilterParams, flag_filters: FlagFilter,
+                 stoit_name=None):
+        super().__init__(path, stoit_name)
+        self.params = params
+        self.flag_filters = flag_filters
+        self.num_primary_override = None
+
+    def read(self):
+        header, batch = super().read()
+        self.num_primary_override = int(np.count_nonzero(batch.is_primary()))
+        keep, _ = apply_read_filter(batch, self.params, self.flag_filters,
+                                    filter_out=True)
+        return header, batch.select(keep)
+
+
+def _build_sources(args):
+    fp = filter_params_from_args(args)
+    ff = flag_filter_from_args(args)
+    if getattr(args, "methods", None) and "metabat" in args.methods:
+        # MetaBAT adjusted coverage preset (coverm.rs:1680-1693)
+        fp.min_percent_identity_single = 0.97001
+        ff.include_improper_pairs = True
+        ff.include_supplementary = True
+        ff.include_secondary = True
+
+    if args.bam_files:
+        if fp.doing_filtering():
+            sources = [FilteredBamFileSource(p, fp, ff) for p in args.bam_files]
+        else:
+            sources = [BamFileSource(p) for p in args.bam_files]
+        return sources, ff
+    # mapping from raw reads
+    from .mapping import build_mapping_sources
+    return build_mapping_sources(args, fp, ff)
+
+
+def run_contig(args):
+    stream = OutputWriter(args.output_file)
+    et = EstimatorsAndTaker(args, stream)
+    et.print_headers("Contig", stream)
+    sources, ff = _build_sources(args)
+    reads_mapped = contig_coverage(
+        sources, et.taker, et.estimators,
+        print_zero_coverage_contigs=not args.no_zeros,
+        flag_filter=ff, threads=args.threads)
+    et.printer.finalise_printing(
+        et.taker, stream, reads_mapped, et.columns_to_normalise,
+        et.rpkm_column, et.tpm_column)
+    stream.flush()
+    return 0
+
+
+def parse_list_of_genome_fasta_files(args):
+    if args.genome_fasta_files:
+        return list(args.genome_fasta_files)
+    if args.genome_fasta_directory:
+        ext = args.genome_fasta_extension
+        paths = sorted(
+            os.path.join(args.genome_fasta_directory, f)
+            for f in os.listdir(args.genome_fasta_directory)
+            if f.endswith("." + ext))
+        if not paths:
+            raise SystemExit(
+                f"Found 0 genomes from the genome-fasta-directory, cannot continue")
+        return paths
+    if args.genome_fasta_list:
+        with open(args.genome_fasta_list) as f:
+            return [l.strip() for l in f if l.strip()]
+    return None
+
+
+def parse_separator(args):
+    """parse_separator (coverm.rs:1522-1537)."""
+    if args.single_genome:
+        return "0"
+    if args.separator:
+        return args.separator
+    if args.bam_files or args.reference:
+        return None
+    return CONCATENATED_FASTA_FILE_SEPARATOR
+
+
+def run_genome(args):
+    genome_fasta_files = parse_list_of_genome_fasta_files(args)
+    separator = parse_separator(args)
+
+    genomes_and_contigs = None
+    if args.single_genome or args.separator:
+        pass
+    elif args.genome_definition:
+        genomes_and_contigs = read_genome_definition_file(args.genome_definition)
+    elif genome_fasta_files:
+        genomes_and_contigs = read_genome_fasta_files(
+            genome_fasta_files, args.use_full_contig_names)
+    elif separator is None:
+        raise SystemExit(
+            "Either a separator (-s) or path(s) to genome FASTA files "
+            "(with -d or -f) must be given")
+
+    stream = OutputWriter(args.output_file)
+    et = EstimatorsAndTaker(args, stream)
+    et.print_headers("Genome", stream)
+    sources, ff = _build_sources(args)
+
+    if separator is not None or args.single_genome:
+        reads_mapped = genome_coverage_separator(
+            sources, separator, et.taker, et.estimators,
+            print_zero_coverage_genomes=not args.no_zeros,
+            flag_filter=ff, single_genome=args.single_genome,
+            threads=args.threads)
+    else:
+        reads_mapped = genome_coverage_named(
+            sources, genomes_and_contigs, et.taker, et.estimators,
+            print_zero_coverage_genomes=not args.no_zeros,
+            flag_filter=ff, threads=args.threads)
+
+    et.printer.finalise_printing(
+        et.taker, stream, reads_mapped, et.columns_to_normalise,
+        et.rpkm_column, et.tpm_column)
+    stream.flush()
+    return 0
+
+
+def run_filter(args):
+    """`coverm filter`: rewrite BAMs keeping only passing alignments
+    (coverm.rs:408-472)."""
+    if len(args.bam_files) != len(args.output_bam_files):
+        raise SystemExit(
+            "The number of input BAM files must be the same as the number "
+            "output")
+    fp = filter_params_from_args(args)
+    ff = flag_filter_from_args(args)
+    for in_path, out_path in zip(args.bam_files, args.output_bam_files):
+        reader = BamReader(in_path)
+        batch = reader.batch
+        # reference semantics: filter_out=true is the normal mode, --inverse
+        # flips it (coverm.rs:453 passes !inverse)
+        keep, order = apply_read_filter(batch, fp, ff,
+                                        filter_out=not args.inverse)
+        data = batch.data
+        with open(out_path, "wb") as f:
+            w = bgzf.BgzfWriter(f)
+            w.write(reader.header.raw)
+            for i in order:
+                w.write(data[batch.rec_start[i]:batch.rec_end[i]])
+            w.close()
+        print(
+            f"In sample '{os.path.basename(in_path)}', found "
+            f"{int(np.count_nonzero(keep))} reads passing filter out of "
+            f"{batch.n_records} total", file=sys.stderr)
+    return 0
+
+
+def run_make(args):
+    from .mapping import make_bams
+    return make_bams(args)
+
+
+def run_makedb(args):
+    from .mapping import makedb
+    return makedb(args)
+
+
+def run_shell_completion(args):
+    raise SystemExit("shell-completion is not yet implemented for coverm-tpu")

@@ -105,6 +105,9 @@ def contig_coverage(sources, taker, estimators, print_zero_coverage_contigs,
         taker.start_stoit(source.name)
         layout = _layout_for(header, ee, layout_cache)
         scan = scan_sample(header, batch, layout, flag_filter, need_hist)
+        npo = getattr(source, "num_primary_override", None)
+        if npo is not None:
+            scan.num_detected_primary_alignments = npo
 
         num_mapped_total = 0
         for tid in range(header.n_ref):
@@ -146,6 +149,9 @@ def genome_coverage_separator(sources, separator: str, taker, estimators,
         taker.start_stoit(source.name)
         layout = _layout_for(header, ee, layout_cache)
         scan = scan_sample(header, batch, layout, flag_filter, need_hist)
+        npo = getattr(source, "num_primary_override", None)
+        if npo is not None:
+            scan.num_detected_primary_alignments = npo
 
         # genome of each tid
         if single_genome:
@@ -237,6 +243,9 @@ def genome_coverage_named(sources, genomes_and_contigs, taker, estimators,
         taker.start_stoit(source.name)
         layout = _layout_for(header, ee, layout_cache)
         scan = scan_sample(header, batch, layout, flag_filter, need_hist)
+        npo = getattr(source, "num_primary_override", None)
+        if npo is not None:
+            scan.num_detected_primary_alignments = npo
 
         genome_of_tid = np.full(header.n_ref, -1, dtype=np.int64)
         for tid, name in enumerate(header.target_names):

@@ -39,6 +39,13 @@ DEFAULT_CHUNK = 1 << 22  # 4M positions per device call
 # int64 statistics on device require x64; TPU lowers i64 to i32 pairs.
 jax.config.update("jax_enable_x64", True)
 
+# Platform override: the axon TPU plugin ignores JAX_PLATFORMS, so honour
+# our own env var through the (working) config knob.
+import os as _os_plat
+
+if _os_plat.environ.get("COVERM_TPU_PLATFORM"):
+    jax.config.update("jax_platforms", _os_plat.environ["COVERM_TPU_PLATFORM"])
+
 # Persistent compilation cache: first-compile on the tunnelled TPU is ~3min,
 # so cache compiled executables across processes (COVERM_TPU_CACHE=0 disables).
 import os as _os

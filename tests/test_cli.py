@@ -1,0 +1,135 @@
+"""CLI end-to-end tests with goldens from the reference's test_cmdline.rs."""
+
+import io
+import sys
+
+import pytest
+
+from coverm_tpu.cli import main
+
+
+def run_cli(argv, capsys):
+    rc = main(argv)
+    assert rc == 0
+    return capsys.readouterr().out
+
+
+def test_relative_abundance_and_mean_sparse(ref_data, capsys):
+    out = run_cli([
+        "genome", "-m", "relative_abundance", "mean",
+        "-b", ref_data("7seqs.reads_for_seq1_and_seq2.bam"),
+        "--output-format", "sparse", "-s", "~",
+    ], capsys)
+    assert out == (
+        "Sample\tGenome\tRelative Abundance (%)\tMean\n"
+        "7seqs.reads_for_seq1_and_seq2\tunmapped\t0\tNA\n"
+        "7seqs.reads_for_seq1_and_seq2\tgenome1\t0\t0\n"
+        "7seqs.reads_for_seq1_and_seq2\tgenome2\t53.16792\t1.4117647\n"
+        "7seqs.reads_for_seq1_and_seq2\tgenome3\t0\t0\n"
+        "7seqs.reads_for_seq1_and_seq2\tgenome4\t0\t0\n"
+        "7seqs.reads_for_seq1_and_seq2\tgenome5\t46.832077\t1.2435294\n"
+        "7seqs.reads_for_seq1_and_seq2\tgenome6\t0\t0\n"
+    )
+
+
+def test_contig_dense_output_simple(ref_data, capsys):
+    out = run_cli([
+        "contig", "-b", ref_data("7seqs.reads_for_seq1_and_seq2.bam"),
+        "--output-format", "dense",
+    ], capsys)
+    assert out == (
+        "Contig\t7seqs.reads_for_seq1_and_seq2 Mean\n"
+        "genome1~random_sequence_length_11000\t0\n"
+        "genome1~random_sequence_length_11010\t0\n"
+        "genome2~seq1\t1.4117647\n"
+        "genome3~random_sequence_length_11001\t0\n"
+        "genome4~random_sequence_length_11002\t0\n"
+        "genome5~seq2\t1.2435294\n"
+        "genome6~random_sequence_length_11003\t0\n"
+    )
+
+
+def test_genome_dense_output_simple(ref_data, capsys):
+    out = run_cli([
+        "genome", "-m", "relative_abundance",
+        "-b", ref_data("7seqs.reads_for_seq1_and_seq2.bam"),
+        "-s", "~", "--output-format", "dense",
+    ], capsys)
+    assert out == (
+        "Genome\t7seqs.reads_for_seq1_and_seq2 Relative Abundance (%)\n"
+        "unmapped\t0\n"
+        "genome1\t0\n"
+        "genome2\t53.167923\n"
+        "genome3\t0\n"
+        "genome4\t0\n"
+        "genome5\t46.832077\n"
+        "genome6\t0\n"
+    )
+
+
+def test_genome_from_definition_file(ref_data, capsys):
+    out = run_cli([
+        "genome", "-m", "mean",
+        "-b", ref_data("7seqs.reads_for_seq1_and_seq2.bam"),
+        "--genome-definition", ref_data("7seqs.definition"),
+        "--output-format", "sparse", "--min-covered-fraction", "0",
+    ], capsys)
+    lines = out.strip().split("\n")
+    assert lines[0] == "Sample\tGenome\tMean"
+    d = {l.split("\t")[1]: l.split("\t")[2] for l in lines[1:]}
+    assert d["genome2"] == "1.4117647"
+    assert d["genome5"] == "1.2435294"
+    assert d["genome1"] == "0"
+
+
+def test_filter_all_reads(ref_data, tmp_path, capsys):
+    out_bam = str(tmp_path / "out.bam")
+    rc = main(["filter", "-b", ref_data("2seqs.bad_read.1.bam"),
+               "-o", out_bam])
+    assert rc == 0
+    # re-read the written BAM with our own reader
+    from coverm_tpu.io.bam import BamReader
+    r = BamReader(out_bam)
+    assert r.batch.n_records == 20  # all reads kept (no thresholds)
+    assert r.header.target_names == ["seq1", "seq2"]
+
+
+def test_filter_filter_out_pair_identity(ref_data, tmp_path, capsys):
+    out_bam = str(tmp_path / "out.bam")
+    rc = main(["filter", "--min-read-percent-identity-pair", "0.99",
+               "-b", ref_data("2seqs.bad_read.1.bam"),
+               "-o", out_bam, "--proper-pairs-only"])
+    assert rc == 0
+    from coverm_tpu.io.bam import BamReader
+    r = BamReader(out_bam)
+    # the bad-read pair fails 99% pair identity; read "1" (flag 99 on seq1)
+    # must be gone (test_cmdline.rs:112-133)
+    qnames = r.batch.qnames()
+    flags = r.batch.flag
+    assert not any(q == "1" and f == 99 for q, f in zip(qnames, flags))
+
+
+def test_metabat_mode(ref_data, capsys):
+    out = run_cli([
+        "contig", "-m", "metabat",
+        "-b", ref_data("7seqs.reads_for_seq1_and_seq2.bam"),
+    ], capsys)
+    lines = out.strip().split("\n")
+    assert lines[0] == (
+        "contigName\tcontigLen\ttotalAvgDepth\t"
+        "7seqs.reads_for_seq1_and_seq2.bam\t7seqs.reads_for_seq1_and_seq2.bam-var")
+    assert len(lines) == 8
+
+
+def test_contig_min_covered_fraction_percentage(ref_data, capsys):
+    # --min-covered-fraction 90 (percent) should zero out both contigs
+    out = run_cli([
+        "contig", "-b", ref_data("2seqs.reads_for_seq1.bam"),
+        "-m", "mean", "--output-format", "sparse",
+        "--min-covered-fraction", "90", "--contig-end-exclusion", "0",
+    ], capsys)
+    assert out == (
+        "Sample\tContig\tMean\n"
+        "2seqs.reads_for_seq1\tseq1\t0\n"
+        "2seqs.reads_for_seq1\tseq2\t0\n"
+    )
