@@ -1,0 +1,124 @@
+"""Benchmark: aligned reads/s for depth accumulation + estimator suite.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: a synthetic metagenomic sample — 32 contigs x 1 Mbp, 20x
+coverage with 150 bp single-block reads (~4.3M aligned reads) — pushed
+through the full device depth engine (scatter-add deltas, chunked cumsum,
+segment reductions, depth histogram) plus the host estimator suite
+(mean, trimmed_mean, variance, covered_fraction) per contig.
+
+vs_baseline is the speedup over a single-core CoverM-style streaming
+scan (numpy ups-and-downs + prefix sum + bincount), the reference's
+concurrency model (SURVEY.md §6: the reference publishes no numbers;
+its scan is single-threaded per sample).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_workload(n_contigs=32, contig_len=1_000_000, coverage=20, read_len=150,
+                  seed=0):
+    rng = np.random.default_rng(seed)
+    n_reads = n_contigs * contig_len * coverage // read_len
+    lengths = np.full(n_contigs, contig_len, dtype=np.int64)
+    tids = rng.integers(0, n_contigs, n_reads)
+    starts = (rng.random(n_reads) * (contig_len - 1)).astype(np.int64)
+    ends = np.minimum(starts + read_len, contig_len)
+    return lengths, tids, starts, ends, n_reads
+
+
+def run_estimators(layout, stats, n_contigs):
+    from coverm_tpu.estimators import (MeanEstimator, TrimmedMeanEstimator,
+                                       VarianceEstimator,
+                                       CoveredFractionEstimator, EntityStats)
+    ests = [MeanEstimator(0.0, 75, False),
+            TrimmedMeanEstimator(0.05, 0.95, 0.0, 75),
+            VarianceEstimator(0.0, 75),
+            CoveredFractionEstimator(0.0)]
+    out = []
+    ee = 75
+    for c in range(n_contigs):
+        s = EntityStats()
+        ln = int(layout.lengths[c])
+        s.total_count = int(stats.sum_depth_window[c])
+        s.total_bases_window = ln - 2 * ee
+        s.covered_window = int(stats.covered_window[c])
+        s.total_bases_full = ln
+        s.covered_full = int(stats.covered_full[c])
+        s.observed_length_full = ln
+        s.hist = stats.hist[c]
+        s.unobserved_lengths = [0]
+        out.append([e.calculate(s) for e in ests])
+    return out
+
+
+def baseline_numpy_scan(lengths, tids, starts, ends, ee=75):
+    """Single-core CoverM-style scan: per-contig delta array, serial
+    prefix sum, histogram walk."""
+    order = np.argsort(tids, kind="stable")
+    tids, starts, ends = tids[order], starts[order], ends[order]
+    bounds = np.searchsorted(tids, np.arange(len(lengths) + 1))
+    for c in range(len(lengths)):
+        lo, hi = bounds[c], bounds[c + 1]
+        ln = int(lengths[c])
+        delta = np.zeros(ln + 1, dtype=np.int32)
+        np.add.at(delta, starts[lo:hi], 1)
+        e = ends[lo:hi]
+        np.add.at(delta, e[e < ln], -1)
+        depth = np.cumsum(delta[:ln])
+        w = depth[ee: ln - ee]
+        w.sum(), (w > 0).sum(), (depth > 0).sum()
+        np.bincount(w)
+
+
+def main():
+    t_setup = time.time()
+    from coverm_tpu.ops.depth import ReferenceLayout, start_transfer_warmup
+    from coverm_tpu.ops.sweep import compute_depth_stats_sweep as compute_depth_stats
+    start_transfer_warmup()
+    import jax
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    lengths, tids, starts, ends, n_reads = make_workload()
+    layout = ReferenceLayout.build(lengths, 75)
+
+    # warmup: compile + first d2h transfer
+    t0 = time.time()
+    stats = compute_depth_stats(layout, tids, starts, ends, need_hist=True)
+    print(f"warmup (compile+transfer-setup): {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        stats = compute_depth_stats(layout, tids, starts, ends, need_hist=True)
+        run_estimators(layout, stats, len(lengths))
+        times.append(time.time() - t0)
+    best = min(times)
+    reads_per_s = n_reads / best
+    print(f"times: {[round(t,3) for t in times]}", file=sys.stderr)
+
+    # single-core reference-style baseline
+    t0 = time.time()
+    baseline_numpy_scan(lengths, tids, starts, ends)
+    run_estimators(layout, stats, len(lengths))
+    base_time = time.time() - t0
+    base_reads_per_s = n_reads / base_time
+    print(f"baseline single-core scan: {base_time:.3f}s "
+          f"({base_reads_per_s:,.0f} reads/s)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "aligned reads/s/chip (depth accumulation + estimator suite)",
+        "value": round(reads_per_s),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / base_reads_per_s, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

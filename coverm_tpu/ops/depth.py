@@ -5,19 +5,22 @@ ups-and-downs delta array + serial prefix sum, contig.rs:144-202 and the
 estimators' add_contig prefix-sum loops) with an array program over a
 *chunked, padded position space*:
 
-  - only contigs with at least one alignment block are materialised
-    ("observed"; unobserved contigs contribute zero statistics and are
-    handled symbolically by the estimator layer), so cost scales with
-    the mapped data, not the reference size;
-  - observed contigs are padded to a multiple of ``LANE`` (128) and
-    greedily packed into fixed-size chunks of ``CHUNK`` positions, so
-    every device call has static shapes (one XLA compilation per bucket);
+  - contigs are padded to a multiple of ``LANE`` (128) and greedily
+    packed into fixed-size chunks of up to ``DEFAULT_CHUNK`` positions;
+    the chunk layout is *reference-static*: built once per reference,
+    its position metadata (segment ids, window/valid masks) lives on the
+    device and is reused by every sample;
+  - per sample, only chunks that received alignment blocks are executed
+    (cost scales with mapped data, not reference size), and only the
+    scatter points (2 int32 per block) cross host->device;
   - alignment blocks scatter +1 at their start and -1 at their end (ends
     at the contig end are dropped, matching contig.rs:178-183);
   - depth is one cumsum per chunk with per-contig carry subtraction;
   - per-contig statistics are segment reductions over the position axis;
   - the depth histogram (trimmed mean / variance / coverage_histogram)
-    is a 2-D scatter-add with a static bin count.
+    is a 2-D scatter-add with a static bin count;
+  - only per-contig statistics (KBs) ever cross device->host — on the
+    tunnelled TPU backend d2h bandwidth is the scarcest resource.
 
 All statistics are integers; the estimator layer (estimators.py)
 reproduces the reference's exact f32 arithmetic from them.
@@ -25,7 +28,7 @@ reproduces the reference's exact f32 arithmetic from them.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 
 import numpy as np
@@ -41,15 +44,13 @@ jax.config.update("jax_enable_x64", True)
 
 # Platform override: the axon TPU plugin ignores JAX_PLATFORMS, so honour
 # our own env var through the (working) config knob.
-import os as _os_plat
+import os as _os
 
-if _os_plat.environ.get("COVERM_TPU_PLATFORM"):
-    jax.config.update("jax_platforms", _os_plat.environ["COVERM_TPU_PLATFORM"])
+if _os.environ.get("COVERM_TPU_PLATFORM"):
+    jax.config.update("jax_platforms", _os.environ["COVERM_TPU_PLATFORM"])
 
 # Persistent compilation cache: first-compile on the tunnelled TPU is ~3min,
 # so cache compiled executables across processes (COVERM_TPU_CACHE=0 disables).
-import os as _os
-
 if _os.environ.get("COVERM_TPU_CACHE", "1") != "0":
     _cache_dir = _os.environ.get(
         "COVERM_TPU_CACHE_DIR",
@@ -63,6 +64,13 @@ if _os.environ.get("COVERM_TPU_CACHE", "1") != "0":
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+def _bucket(n: int, minimum: int = 1024) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
 
 
 _warmup_thread = None
@@ -91,23 +99,97 @@ def start_transfer_warmup():
     _warmup_thread.start()
 
 
-@dataclass(frozen=True)
-class ReferenceLayout:
-    """Reference metadata shared by all samples (lengths + end exclusion)."""
+@dataclass
+class _Chunk:
+    """One chunk of the padded position space."""
 
-    lengths: np.ndarray  # int64[C]
-    contig_end_exclusion: int
+    cids: np.ndarray          # global contig ids packed in this chunk
+    base: np.ndarray          # int64, chunk-local offset of each contig
+    n_local: int
+    _device: tuple = None     # lazily-built (pos_seg, window, valid)
+
+
+class ReferenceLayout:
+    """Reference-static chunked layout (lengths + end exclusion).
+
+    Chunk position metadata is built lazily per chunk and cached on the
+    device, shared by every sample scanned against this reference.
+    """
+
+    def __init__(self, lengths, contig_end_exclusion: int,
+                 chunk_positions: int = DEFAULT_CHUNK):
+        self.lengths = np.asarray(lengths, dtype=np.int64)
+        self.contig_end_exclusion = int(contig_end_exclusion)
+        C = self.lengths.size
+        padded = np.maximum(_round_up(self.lengths, LANE), LANE) if C else \
+            np.zeros(0, np.int64)
+        max_padded = int(padded.max()) if C else LANE
+        total = int(padded.sum()) if C else LANE
+        P = min(_bucket(total, minimum=LANE), chunk_positions)
+        P = max(P, _bucket(max_padded, minimum=LANE))
+        self.P = P
+
+        # greedy packing in tid order
+        self.chunk_of_contig = np.zeros(C, dtype=np.int32)
+        self.base_of_contig = np.zeros(C, dtype=np.int64)
+        chunks = []
+        cur_ids, cur_fill = [], 0
+        for cid in range(C):
+            pl = int(padded[cid])
+            if cur_fill + pl > P:
+                chunks.append((cur_ids, cur_fill))
+                cur_ids, cur_fill = [], 0
+            self.chunk_of_contig[cid] = len(chunks)
+            self.base_of_contig[cid] = cur_fill
+            cur_ids.append(cid)
+            cur_fill += pl
+        if cur_ids or not chunks:
+            chunks.append((cur_ids, cur_fill))
+        self.chunks = []
+        max_local = 1
+        for ids, fill in chunks:
+            cids = np.asarray(ids, dtype=np.int64)
+            self.chunks.append(_Chunk(
+                cids=cids, base=self.base_of_contig[cids],
+                n_local=len(ids)))
+            max_local = max(max_local, len(ids))
+        # uniform static segment count across chunks (one compilation);
+        # padding positions always map to segment K-1 which no real contig
+        # uses because the bucket is strictly larger
+        self.K = _bucket(max_local + 1, minimum=8)
+        self._padded = padded
 
     @staticmethod
     def build(lengths, contig_end_exclusion: int) -> "ReferenceLayout":
-        return ReferenceLayout(
-            lengths=np.asarray(lengths, dtype=np.int64),
-            contig_end_exclusion=int(contig_end_exclusion),
-        )
+        return ReferenceLayout(lengths, contig_end_exclusion)
 
     @property
     def n_contigs(self) -> int:
         return int(self.lengths.size)
+
+    def device_chunk(self, ci: int):
+        """(pos_seg, window, valid) device arrays for chunk ci (cached)."""
+        ch = self.chunks[ci]
+        if ch._device is not None:
+            return ch._device
+        P, K = self.P, self.K
+        plens = self._padded[ch.cids]
+        fill = int(plens.sum())
+        seg = np.full(P, K - 1, dtype=np.int32)
+        seg[:fill] = np.repeat(np.arange(ch.n_local, dtype=np.int32), plens)
+        pos_in = np.arange(P, dtype=np.int64)
+        base_of_pos = np.zeros(P, dtype=np.int64)
+        base_of_pos[:fill] = np.repeat(ch.base, plens)
+        pos_in = pos_in - base_of_pos
+        len_of_pos = np.zeros(P, dtype=np.int64)
+        len_of_pos[:fill] = np.repeat(self.lengths[ch.cids], plens)
+        valid = pos_in < len_of_pos
+        valid[fill:] = False
+        ee = self.contig_end_exclusion
+        window = valid & (len_of_pos > 2 * ee) & (pos_in >= ee) & (
+            pos_in <= len_of_pos - 1 - ee)
+        ch._device = (jnp.asarray(seg), jnp.asarray(window), jnp.asarray(valid))
+        return ch._device
 
 
 @dataclass
@@ -121,9 +203,11 @@ class DepthStats:
     hist: np.ndarray | None = None  # int64[C, D] window depth histogram
 
 
-@partial(jax.jit, static_argnames=("n_seg",))
-def _stats_core(scatter_idx, scatter_val, pos_seg, window_mask, valid_mask, n_seg):
-    """One chunk: scatter deltas, cumsum depth, reduce per local segment."""
+def stats_core_math(scatter_idx, scatter_val, pos_seg, window_mask, valid_mask,
+                    n_seg):
+    """One chunk: scatter deltas, cumsum depth, reduce per local segment.
+
+    Pure jittable math (unjitted entry point used by __graft_entry__)."""
     P = pos_seg.shape[0]
     delta = jnp.zeros(P + 1, dtype=jnp.int32)
     delta = delta.at[scatter_idx].add(scatter_val, mode="drop")
@@ -144,6 +228,9 @@ def _stats_core(scatter_idx, scatter_val, pos_seg, window_mask, valid_mask, n_se
     return sum_w, cov_w.astype(jnp.int64), cov_f.astype(jnp.int64), max_w, depth
 
 
+_stats_core = partial(jax.jit, static_argnames=("n_seg",))(stats_core_math)
+
+
 @partial(jax.jit, static_argnames=("n_seg", "n_bins"))
 def _hist_core(depth, pos_seg, window_mask, n_seg, n_bins):
     d = jnp.clip(depth, 0, n_bins - 1).astype(jnp.int32)
@@ -154,49 +241,8 @@ def _hist_core(depth, pos_seg, window_mask, n_seg, n_bins):
     return hist.reshape(n_seg, n_bins)
 
 
-def _bucket(n: int, minimum: int = 1024) -> int:
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
-
-
-@dataclass
-class _Chunk:
-    contigs: np.ndarray      # global contig ids packed in this chunk
-    seg_of_pos: np.ndarray   # int32[P] local segment id per position
-    window: np.ndarray       # bool[P]
-    valid: np.ndarray        # bool[P]
-    pos_base: np.ndarray     # int64[K] flat offset of each segment in chunk
-    block_sel: np.ndarray    # indices into the block arrays for this chunk
-    n_local: int
-
-
-def _pack_chunks(obs_ids, lengths, ee, chunk_positions):
-    """Greedily pack observed contigs into fixed-size position chunks."""
-    padded = np.maximum(_round_up(lengths[obs_ids], LANE), LANE)
-    max_padded = int(padded.max()) if padded.size else LANE
-    total_padded = int(padded.sum()) if padded.size else LANE
-    # small samples use small (bucketed) chunks; large ones cap at
-    # chunk_positions so memory stays bounded
-    P = min(_bucket(total_padded, minimum=LANE), chunk_positions)
-    P = max(P, _bucket(max_padded, minimum=LANE))
-    chunks = []
-    cur, cur_fill = [], 0
-    for cid, pl in zip(obs_ids.tolist(), padded.tolist()):
-        if cur_fill + pl > P:
-            chunks.append(cur)
-            cur, cur_fill = [], 0
-        cur.append((cid, pl))
-        cur_fill += pl
-    if cur:
-        chunks.append(cur)
-    return P, chunks
-
-
 def compute_depth_stats(layout: ReferenceLayout, tids, starts, ends,
-                        need_hist: bool = False,
-                        chunk_positions: int = DEFAULT_CHUNK) -> DepthStats:
+                        need_hist: bool = False) -> DepthStats:
     """Compute per-contig depth statistics for one sample's blocks.
 
     tids/starts/ends: one row per alignment block (M/X/= run), already
@@ -204,8 +250,6 @@ def compute_depth_stats(layout: ReferenceLayout, tids, starts, ends,
     0 <= start < len and start <= end <= len.
     """
     C = layout.n_contigs
-    lengths = layout.lengths
-    ee = layout.contig_end_exclusion
     sum_w = np.zeros(C, dtype=np.int64)
     cov_w = np.zeros(C, dtype=np.int64)
     cov_f = np.zeros(C, dtype=np.int64)
@@ -214,85 +258,68 @@ def compute_depth_stats(layout: ReferenceLayout, tids, starts, ends,
     tids = np.asarray(tids, dtype=np.int64)
     starts = np.asarray(starts, dtype=np.int64)
     ends = np.asarray(ends, dtype=np.int64)
-    obs_ids = np.unique(tids)
-    if obs_ids.size == 0:
+    if tids.size == 0 or C == 0:
         return DepthStats(sum_w, cov_w, cov_f, max_w,
                           np.zeros((C, 1), np.int64) if need_hist else None)
 
-    order = np.argsort(tids, kind="stable")
-    s_tids, s_starts, s_ends = tids[order], starts[order], ends[order]
-    block_lo = np.searchsorted(s_tids, obs_ids, side="left")
-    block_hi = np.searchsorted(s_tids, obs_ids, side="right")
+    P, K = layout.P, layout.K
+    chunk_ids = layout.chunk_of_contig[tids]
+    order = np.argsort(chunk_ids, kind="stable")
+    s_chunk = chunk_ids[order]
+    s_tids = tids[order]
+    local_start = layout.base_of_contig[s_tids] + starts[order]
+    raw_end = ends[order]
+    local_end = layout.base_of_contig[s_tids] + raw_end
+    end_keep = raw_end < layout.lengths[s_tids]
 
-    P, packs = _pack_chunks(obs_ids, lengths, ee, chunk_positions)
-    K = max(len(p) for p in packs)
-    K = _bucket(K, minimum=8)
+    touched = np.unique(s_chunk)
+    lo = np.searchsorted(s_chunk, touched, side="left")
+    hi = np.searchsorted(s_chunk, touched, side="right")
 
-    chunk_results = []
-    for pack in packs:
-        cids = np.array([c for c, _ in pack], dtype=np.int64)
-        plens = np.array([p for _, p in pack], dtype=np.int64)
-        n_local = len(pack)
-        bases = np.concatenate(([0], np.cumsum(plens)))[:-1]
-        fill = int(plens.sum())
-
-        seg_of_pos = np.full(P, K - 1, dtype=np.int32)
-        seg_of_pos[:fill] = np.repeat(np.arange(n_local, dtype=np.int32), plens)
-        pos_in = np.arange(P, dtype=np.int64)
-        base_of_pos = np.zeros(P, dtype=np.int64)
-        base_of_pos[:fill] = np.repeat(bases, plens)
-        pos_in = pos_in - base_of_pos
-        len_of_pos = np.zeros(P, dtype=np.int64)
-        len_of_pos[:fill] = np.repeat(lengths[cids], plens)
-        valid = pos_in < len_of_pos
-        valid[fill:] = False
-        window = valid & (len_of_pos > 2 * ee) & (pos_in >= ee) & (
-            pos_in <= len_of_pos - 1 - ee)
-
-        # blocks for this chunk
-        sel = np.concatenate([
-            np.arange(block_lo[np.searchsorted(obs_ids, c)],
-                      block_hi[np.searchsorted(obs_ids, c)])
-            for c in cids
-        ])
-        btid = s_tids[sel]
-        local = np.searchsorted(cids, btid)
-        bstart = s_starts[sel] + bases[local]
-        bend = s_ends[sel] + bases[local]
-        end_keep = s_ends[sel] < lengths[btid]
-
-        idx = np.concatenate([bstart, np.where(end_keep, bend, P)])
+    pending = []  # (chunk, device result tuple)
+    for t in range(touched.size):
+        ci = int(touched[t])
+        a, b = int(lo[t]), int(hi[t])
+        n = b - a
+        idx = np.concatenate([
+            local_start[a:b],
+            np.where(end_keep[a:b], local_end[a:b], P)])
         val = np.concatenate([
-            np.ones(bstart.size, dtype=np.int32),
-            -np.ones(bend.size, dtype=np.int32)])
+            np.ones(n, dtype=np.int32), -np.ones(n, dtype=np.int32)])
         nb = _bucket(idx.size)
-        idx = np.concatenate([idx, np.full(nb - idx.size, P, dtype=np.int64)])
-        val = np.concatenate([val, np.zeros(nb - val.size, dtype=np.int32)])
-
+        pad = nb - idx.size
+        if pad:
+            idx = np.concatenate([idx, np.full(pad, P, dtype=np.int64)])
+            val = np.concatenate([val, np.zeros(pad, dtype=np.int32)])
+        pos_seg, window, valid = layout.device_chunk(ci)
         r = _stats_core(jnp.asarray(idx.astype(np.int32)), jnp.asarray(val),
-                        jnp.asarray(seg_of_pos), jnp.asarray(window),
-                        jnp.asarray(valid), K)
-        chunk_results.append((cids, n_local, r, seg_of_pos, window))
+                        pos_seg, window, valid, K)
+        pending.append((ci, r))
 
-    # accumulate per-contig stats on host
     global_max = 0
-    for cids, n_local, r, _, _ in chunk_results:
-        rs, rcw, rcf, rmw, _depth = [np.asarray(jax.device_get(x)) for x in r]
-        sum_w[cids] += rs[:n_local]
-        cov_w[cids] += rcw[:n_local]
-        cov_f[cids] += rcf[:n_local]
-        max_w[cids] = np.maximum(max_w[cids], np.maximum(rmw[:n_local], 0))
-        global_max = max(global_max, int(max_w[cids].max()))
+    for ci, r in pending:
+        ch = layout.chunks[ci]
+        nl = ch.n_local
+        # only the tiny per-segment stats cross device->host
+        rs, rcw, rcf, rmw = [np.asarray(jax.device_get(x)) for x in r[:4]]
+        sum_w[ch.cids] += rs[:nl]
+        cov_w[ch.cids] += rcw[:nl]
+        cov_f[ch.cids] += rcf[:nl]
+        mw = np.maximum(rmw[:nl], 0)
+        max_w[ch.cids] = np.maximum(max_w[ch.cids], mw)
+        if mw.size:
+            global_max = max(global_max, int(mw.max()))
 
     hist = None
     if need_hist:
         n_bins = _bucket(global_max + 1, minimum=128)
         hist = np.zeros((C, n_bins), dtype=np.int64)
-        for cids, n_local, r, seg_of_pos, window in chunk_results:
-            depth = r[4]
+        for ci, r in pending:
+            ch = layout.chunks[ci]
+            pos_seg, window, _valid = layout.device_chunk(ci)
             h = np.asarray(jax.device_get(_hist_core(
-                depth, jnp.asarray(seg_of_pos), jnp.asarray(window), K, n_bins)))
-            hist[cids] += h[:n_local]
+                r[4], pos_seg, window, K, n_bins)))
+            hist[ch.cids] += h[: ch.n_local]
 
     return DepthStats(sum_w, cov_w, cov_f, max_w, hist)
 

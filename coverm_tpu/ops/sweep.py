@@ -1,0 +1,233 @@
+"""Event-sweep depth engine: O(B log B) in alignment blocks.
+
+Instead of materialising per-position depth (ops/depth.py), sort the
+2B interval endpoints and sweep: between consecutive events the depth is
+constant, so every statistic is a weighted reduction over event *gaps*:
+
+    sum_w  = Σ_gaps depth · |gap ∩ window|
+    cov_w  = Σ_gaps [depth>0] · |gap ∩ window|
+    cov_f  = Σ_gaps [depth>0] · |gap ∩ [0, len)|
+    hist[d]= Σ_gaps [depth=d] · |gap ∩ window|   (d>0; bin 0 by difference)
+
+Cost scales with the number of mapped reads — independent of reference
+length.  The pipeline is built ONLY from TPU-fast primitives — sort,
+cumsum/cummax scans, vector select — with no scatters or large gathers
+(XLA lowers those serially on TPU):
+
+  - per-contig metadata (length) travels with the sort as *sentinel
+    events* (one per contig, sorting before its contig's blocks) and is
+    forward-filled to every event with a packed cummax scan;
+  - the per-contig depth carry is read off the running sign-cumsum at
+    each sentinel and forward-filled the same way;
+  - per-contig reductions are boundary differences of weighted cumsums
+    (boundaries located with a tiny searchsorted);
+  - the depth histogram is a second sort by (contig, depth) followed by
+    a cumsum and dense boundary queries.
+
+The host uploads 3 int32 arrays per sample and downloads per-contig
+statistics; nothing position-sized ever crosses the link.
+
+Semantics match ops/depth.py bit-for-bit: ends at the contig end drop
+their -1 event (contig.rs:178-183), the exclusion window is
+[ee, len-1-ee] for contigs with len > 2·ee.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .depth import DepthStats, ReferenceLayout, _bucket
+
+# beyond this many contigs, per-contig outputs are remapped to the dense
+# observed set on host to bound histogram/stat sizes
+DENSE_REMAP_THRESHOLD = 1 << 16
+_MASK32 = (1 << 32) - 1
+
+
+@partial(jax.jit, static_argnames=("n_seg", "ee"))
+def _fused_sweep(tids, starts, ends, valid_block, seg_len, n_seg, ee):
+    """Events + sort + sweep + per-contig reductions, scan-only.
+
+    tids/starts/ends: int32[B] (padded; valid_block False on padding)
+    seg_len: int64[n_seg] contig lengths (0 for unused segments)
+    """
+    lengths_of_block = seg_len[jnp.where(valid_block, tids, 0)]
+    end_keep = valid_block & (ends.astype(jnp.int64) < lengths_of_block)
+
+    seg_b = tids.astype(jnp.int64)
+    # keys: seg<<33 | (pos+1)<<1 ; sentinels use pos-field 0 so they sort
+    # first within their contig; padding sorts last with key MAX
+    key_start = jnp.where(valid_block,
+                          (seg_b << 33) | ((starts.astype(jnp.int64) + 1) << 1),
+                          jnp.iinfo(jnp.int64).max)
+    key_end = jnp.where(end_keep,
+                        (seg_b << 33) | ((ends.astype(jnp.int64) + 1) << 1),
+                        jnp.iinfo(jnp.int64).max)
+    sent_seg = jnp.arange(n_seg, dtype=jnp.int64)
+    key_sent = sent_seg << 33
+
+    key = jnp.concatenate([key_sent, key_start, key_end])
+    sign = jnp.concatenate([
+        jnp.zeros(n_seg, jnp.int32),
+        jnp.where(valid_block, 1, 0).astype(jnp.int32),
+        jnp.where(end_keep, -1, 0).astype(jnp.int32)])
+    paylen = jnp.concatenate([
+        seg_len, jnp.zeros(tids.shape[0] * 2, jnp.int64)])
+
+    key_s, sign_s, paylen_s = jax.lax.sort((key, sign, paylen), num_keys=1)
+    is_pad = key_s == jnp.iinfo(jnp.int64).max
+    seg_s = jnp.where(is_pad, n_seg, key_s >> 33)
+    pos_s = ((key_s >> 1) & _MASK32) - 1  # sentinel -> -1
+
+    # forward-fill contig length from the sentinel (packed cummax)
+    length = jax.lax.cummax((seg_s << 33) + paylen_s) - (seg_s << 33)
+    length = jnp.where(is_pad, 0, length)
+
+    # running depth; per-contig carry = running sum at the sentinel
+    csum = jnp.cumsum(sign_s, dtype=jnp.int32)
+    is_sent = pos_s == -1
+    carry_fill = jax.lax.cummax(
+        (seg_s << 33) + jnp.where(is_sent, csum.astype(jnp.int64), 0))
+    carry = carry_fill - (seg_s << 33)
+    depth = csum - carry.astype(jnp.int32)
+
+    # gap i covers [pos_i, next_pos_i) within contig seg_i
+    next_seg = jnp.concatenate([seg_s[1:], jnp.full((1,), n_seg, jnp.int64)])
+    next_pos = jnp.concatenate([pos_s[1:], jnp.zeros((1,), pos_s.dtype)])
+    gap_end = jnp.where(next_seg == seg_s, next_pos, length)
+
+    full_len = jnp.clip(jnp.minimum(gap_end, length) - jnp.maximum(pos_s, 0), 0)
+    whi = length - ee  # exclusive window end
+    w_len = jnp.clip(jnp.minimum(gap_end, whi) - jnp.maximum(pos_s, ee), 0)
+    w_len = jnp.where(length > 2 * ee, w_len, 0)
+    full_len = jnp.where(is_pad, 0, full_len)
+    w_len = jnp.where(is_pad, 0, w_len)
+
+    covered = depth > 0
+    cs_sum = jnp.cumsum(jnp.where(covered, depth.astype(jnp.int64) * w_len, 0))
+    cs_cov = jnp.cumsum(jnp.where(covered, w_len, 0))
+    cs_ful = jnp.cumsum(jnp.where(covered, full_len, 0))
+    cm_max = jax.lax.cummax(
+        (seg_s << 33) + jnp.where(covered & (w_len > 0),
+                                  depth.astype(jnp.int64), 0))
+
+    # per-contig boundary positions: first event (the sentinel) of each seg
+    bounds = jnp.searchsorted(key_s, (jnp.arange(
+        n_seg + 1, dtype=jnp.int64) << 33))
+    hi = jnp.clip(bounds[1:] - 1, 0)  # last event of each seg
+    lo = jnp.clip(bounds[:-1] - 1, 0)  # event before the sentinel
+
+    def seg_diff(cs):
+        first = jnp.where(bounds[:-1] > 0, cs[lo], 0)
+        return cs[hi] - first
+
+    sum_w = seg_diff(cs_sum)
+    cov_w = seg_diff(cs_cov)
+    cov_f = seg_diff(cs_ful)
+    max_w = jnp.clip(cm_max[hi] - (jnp.arange(n_seg, dtype=jnp.int64) << 33), 0)
+    gmax = jnp.max(jnp.where(covered & (w_len > 0), depth, 0))
+    return (sum_w, cov_w, cov_f, max_w, gmax, depth, w_len, seg_s)
+
+
+@partial(jax.jit, static_argnames=("n_seg", "n_bins"))
+def _sweep_hist(depth, w_len, seg_of_event, n_seg, n_bins):
+    """Gap-weighted depth histogram via sort + cumsum + dense queries."""
+    d = jnp.clip(depth, 0, n_bins - 1).astype(jnp.int64)
+    contrib = jnp.where((depth > 0) & (seg_of_event < n_seg), w_len, 0)
+    bin_key = jnp.where(seg_of_event < n_seg,
+                        seg_of_event * n_bins + d,
+                        n_seg * n_bins)
+    key_s, w_s = jax.lax.sort((bin_key, contrib), num_keys=1)
+    cs = jnp.cumsum(w_s)
+    q = jnp.arange(n_seg * n_bins + 1, dtype=jnp.int64)
+    b = jnp.searchsorted(key_s, q)
+    ends = jnp.where(b > 0, cs[jnp.clip(b - 1, 0)], 0)
+    totals = ends[1:] - ends[:-1]
+    # ends[i] = cumsum up to last element with key < i -> per-bin totals
+    return totals.reshape(n_seg, n_bins)
+
+
+def _device_lengths(layout: ReferenceLayout, n_seg: int):
+    cached = getattr(layout, "_sweep_seg_len", None)
+    if cached is not None and cached.shape[0] == n_seg:
+        return cached
+    seg_len = np.zeros(n_seg, dtype=np.int64)
+    seg_len[: layout.n_contigs] = layout.lengths
+    dev = jnp.asarray(seg_len)
+    layout._sweep_seg_len = dev
+    return dev
+
+
+def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
+                              need_hist: bool = False) -> DepthStats:
+    """Event-sweep drop-in for compute_depth_stats."""
+    C = layout.n_contigs
+    zero = lambda: np.zeros(C, dtype=np.int64)
+    tids = np.asarray(tids)
+    starts = np.asarray(starts)
+    ends = np.asarray(ends)
+    if tids.size == 0 or C == 0:
+        return DepthStats(zero(), zero(), zero(), zero(),
+                          np.zeros((C, 1), np.int64) if need_hist else None)
+
+    ee = layout.contig_end_exclusion
+    dense = C > DENSE_REMAP_THRESHOLD
+    if dense:
+        obs = np.unique(tids)
+        seg_ids = np.searchsorted(obs, tids).astype(np.int32)
+        n_seg = _bucket(obs.size, minimum=8)
+        seg_len = np.zeros(n_seg, dtype=np.int64)
+        seg_len[: obs.size] = layout.lengths[obs]
+        seg_len_dev = jnp.asarray(seg_len)
+        n_out = obs.size
+    else:
+        obs = None
+        seg_ids = tids.astype(np.int32)
+        n_seg = _bucket(C, minimum=8)
+        seg_len_dev = _device_lengths(layout, n_seg)
+        n_out = C
+
+    B = _bucket(seg_ids.size)
+    pad = B - seg_ids.size
+    valid = np.ones(B, dtype=bool)
+    if pad:
+        valid[seg_ids.size:] = False
+        z = np.zeros(pad, np.int32)
+        seg_ids = np.concatenate([seg_ids, z])
+        starts = np.concatenate([starts.astype(np.int32), z])
+        ends = np.concatenate([ends.astype(np.int32), z])
+    else:
+        starts = starts.astype(np.int32)
+        ends = ends.astype(np.int32)
+
+    r = _fused_sweep(jnp.asarray(seg_ids), jnp.asarray(starts),
+                     jnp.asarray(ends), jnp.asarray(valid), seg_len_dev,
+                     n_seg, ee)
+
+    sum_w, cov_w, cov_f, max_w = [np.asarray(jax.device_get(x)) for x in r[:4]]
+    out = DepthStats(zero(), zero(), zero(), zero(), None)
+    tgt = obs if dense else slice(0, C)
+    out.sum_depth_window[tgt] = sum_w[:n_out]
+    out.covered_window[tgt] = cov_w[:n_out]
+    out.covered_full[tgt] = cov_f[:n_out]
+    out.max_depth_window[tgt] = np.maximum(max_w[:n_out], 0)
+
+    if need_hist:
+        gmax = int(jax.device_get(r[4]))
+        n_bins = _bucket(max(gmax, 0) + 1, minimum=128)
+        h = np.asarray(jax.device_get(
+            _sweep_hist(r[5], r[6], r[7], n_seg, n_bins)))
+        hist = np.zeros((C, n_bins), dtype=np.int64)
+        hist[tgt] = h[:n_out]
+        # bin 0 = window positions not covered (observed contigs only)
+        win_len = np.where(layout.lengths > 2 * ee, layout.lengths - 2 * ee, 0)
+        hist[:, 0] = 0
+        obs_all = np.unique(tids) if obs is None else obs
+        hist[obs_all, 0] = win_len[obs_all] - out.covered_window[obs_all]
+        out.hist = hist
+    return out

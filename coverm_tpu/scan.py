@@ -21,7 +21,8 @@ import numpy as np
 
 from .flags import FlagFilter
 from .io.bam import BamHeader, RecordBatch
-from .ops.depth import DepthStats, ReferenceLayout, compute_depth_stats
+from .ops.depth import DepthStats, ReferenceLayout
+from .ops.sweep import compute_depth_stats_sweep
 
 
 class BamSortingError(Exception):
@@ -55,7 +56,7 @@ class SampleScan:
 
 def scan_sample(header: BamHeader, batch: RecordBatch, layout: ReferenceLayout,
                 flag_filter: FlagFilter, need_hist: bool,
-                depth_fn=compute_depth_stats) -> SampleScan:
+                depth_fn=compute_depth_stats_sweep) -> SampleScan:
     C = header.n_ref
     passes = flag_filter.passes(batch)
     mapped = ~batch.is_unmapped()

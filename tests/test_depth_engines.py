@@ -1,0 +1,48 @@
+"""Cross-check the device depth engines against the numpy oracle."""
+
+import numpy as np
+import pytest
+
+from coverm_tpu.ops.depth import (ReferenceLayout, compute_depth_stats,
+                                  compute_depth_stats_numpy)
+from coverm_tpu.ops.sweep import compute_depth_stats_sweep
+
+
+@pytest.mark.parametrize("engine", [compute_depth_stats,
+                                    compute_depth_stats_sweep])
+@pytest.mark.parametrize("seed,ee", [(0, 0), (1, 75), (2, 10), (3, 600)])
+def test_engine_matches_oracle(engine, seed, ee):
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(50, 5000, 12)
+    layout = ReferenceLayout.build(lengths, ee)
+    n = 800
+    tids = rng.integers(0, 12, n)
+    starts = (rng.random(n) * (lengths[tids] - 1)).astype(np.int64)
+    ends = np.minimum(starts + rng.integers(1, 300, n), lengths[tids])
+
+    got = engine(layout, tids, starts, ends, need_hist=True)
+    want = compute_depth_stats_numpy(layout, tids, starts, ends, need_hist=True)
+
+    np.testing.assert_array_equal(got.sum_depth_window, want.sum_depth_window)
+    np.testing.assert_array_equal(got.covered_window, want.covered_window)
+    np.testing.assert_array_equal(got.covered_full, want.covered_full)
+    np.testing.assert_array_equal(got.max_depth_window, want.max_depth_window)
+    # histograms: compare padded to the same width, plus the implicit
+    # zero-depth bin
+    W = max(got.hist.shape[1], want.hist.shape[1])
+    g = np.zeros((12, W), np.int64)
+    w = np.zeros((12, W), np.int64)
+    g[:, : got.hist.shape[1]] = got.hist
+    w[:, : want.hist.shape[1]] = want.hist
+    # oracle's hist includes depth-0 positions only for observed contigs
+    obs = np.unique(tids)
+    np.testing.assert_array_equal(g[obs], w[obs])
+
+
+def test_empty_sample():
+    layout = ReferenceLayout.build(np.array([500, 600]), 0)
+    for engine in (compute_depth_stats, compute_depth_stats_sweep):
+        st = engine(layout, np.array([], int), np.array([], int),
+                    np.array([], int), need_hist=True)
+        assert st.sum_depth_window.sum() == 0
+        assert st.covered_full.sum() == 0
