@@ -51,7 +51,14 @@ def _build_sources(args):
         ff.include_secondary = True
 
     if args.bam_files:
-        if fp.doing_filtering():
+        if getattr(args, "sharded", False):
+            from .shard import ShardedBamSource
+            sources = [ShardedBamSource(args.bam_files,
+                                        _genome_exclusion_of(args))]
+            if fp.doing_filtering():
+                from .mapping.pipeline import FilteredMappedSource
+                sources = [FilteredMappedSource(s, fp, ff) for s in sources]
+        elif fp.doing_filtering():
             sources = [FilteredBamFileSource(p, fp, ff) for p in args.bam_files]
         else:
             sources = [BamFileSource(p) for p in args.bam_files]
@@ -61,15 +68,40 @@ def _build_sources(args):
     return build_mapping_sources(args, fp, ff)
 
 
+def _genome_exclusion_of(args):
+    """--exclude-genomes-from-deshard wiring (coverm.rs:96-156)."""
+    from .genome_exclusion import (NoExclusionGenomeFilter,
+                                   SeparatorGenomeExclusionFilter)
+    path = getattr(args, "exclude_genomes_from_deshard", None)
+    if not path:
+        return NoExclusionGenomeFilter()
+    with open(path) as f:
+        genomes = [l.strip() for l in f if l.strip()]
+    sep = getattr(args, "separator", None) or CONCATENATED_FASTA_FILE_SEPARATOR
+    return SeparatorGenomeExclusionFilter(genomes, sep)
+
+
 def run_contig(args):
     stream = OutputWriter(args.output_file)
     et = EstimatorsAndTaker(args, stream)
-    et.print_headers("Contig", stream)
+    entry_type = "Gene\tContig" if args.gff else "Contig"
+    et.print_headers(entry_type, stream)
+    if args.methods == ["strobealign-aemb"]:
+        from .mapping.aemb import strobealign_aemb_coverage
+        return strobealign_aemb_coverage(args, et, stream)
     sources, ff = _build_sources(args)
-    reads_mapped = contig_coverage(
-        sources, et.taker, et.estimators,
-        print_zero_coverage_contigs=not args.no_zeros,
-        flag_filter=ff, threads=args.threads)
+    if args.gff:
+        from .genes import GeneDefinitions, gene_coverage
+        defs = GeneDefinitions.read_gff(args.gff, args.gff_feature_type)
+        reads_mapped = gene_coverage(
+            sources, et.taker, et.estimators, defs, None,
+            print_zero_coverage_genes=not args.no_zeros,
+            flag_filter=ff, threads=args.threads)
+    else:
+        reads_mapped = contig_coverage(
+            sources, et.taker, et.estimators,
+            print_zero_coverage_contigs=not args.no_zeros,
+            flag_filter=ff, threads=args.threads)
     et.printer.finalise_printing(
         et.taker, stream, reads_mapped, et.columns_to_normalise,
         et.rpkm_column, et.tpm_column)
@@ -126,10 +158,28 @@ def run_genome(args):
 
     stream = OutputWriter(args.output_file)
     et = EstimatorsAndTaker(args, stream)
-    et.print_headers("Genome", stream)
+    et.print_headers("Gene\tContig\tGenome" if args.gff else "Genome", stream)
     sources, ff = _build_sources(args)
 
-    if separator is not None or args.single_genome:
+    if args.gff:
+        # genome namer precedence mirrors run_genome (coverm.rs:1554-1580)
+        if args.single_genome:
+            namer = lambda contig: "genome1"
+        elif separator is not None:
+            sep = separator
+
+            def namer(contig, sep=sep):
+                return contig.split(sep, 1)[0] if sep in contig else None
+        else:
+            gc = genomes_and_contigs
+            namer = lambda contig: gc.genome_of_contig(contig)
+        from .genes import GeneDefinitions, gene_coverage
+        defs = GeneDefinitions.read_gff(args.gff, args.gff_feature_type)
+        reads_mapped = gene_coverage(
+            sources, et.taker, et.estimators, defs, namer,
+            print_zero_coverage_genes=not args.no_zeros,
+            flag_filter=ff, threads=args.threads)
+    elif separator is not None or args.single_genome:
         reads_mapped = genome_coverage_separator(
             sources, separator, et.taker, et.estimators,
             print_zero_coverage_genomes=not args.no_zeros,

@@ -254,8 +254,12 @@ def _scan_aux(data, aux_starts, aux_ends):
 
 
 def parse_bam_bytes(raw: bytes) -> tuple:
-    """Decode a whole BAM byte string -> (BamHeader, RecordBatch)."""
-    data = bgzf.decompress_all(raw)
+    """Decode a whole (BGZF-compressed) BAM byte string."""
+    return parse_bam_data_raw(bgzf.decompress_all(raw))
+
+
+def parse_bam_data_raw(data: bytes) -> tuple:
+    """Decode uncompressed BAM bytes -> (BamHeader, RecordBatch)."""
     header, off = _parse_header(data)
     arr = np.frombuffer(data, dtype=np.uint8)
     n_bytes = len(data)

@@ -1,0 +1,303 @@
+"""Mapper subprocess pipeline (bam_generator.rs:374-925 re-imagined).
+
+The reference shells out `mapper | samtools sort -l0 > fifo` and reads
+the FIFO as BAM.  Here the mapper's SAM stdout is consumed directly:
+records are encoded to BAM bytes, parsed with the vectorised record
+parser, and *sorted inside the engine* (a numpy argsort over the packed
+(tid, pos) keys) — removing the samtools dependency entirely, exactly as
+planned in SURVEY.md §2.2.  BAM caching (`make`,
+--bam-file-cache-directory) writes reference-sorted BAMs through our own
+BGZF encoder.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+from ..io import bgzf
+from ..io.bam import parse_bam_data_raw
+from ..io.sam import sam_text_to_bam_data
+from .external import check_mapper
+from .index import generate_concatenated_fasta_file, setup_mapping_index
+from .params import MappingParameters, ReadFormat
+
+
+def build_mapper_invocation(mapping_program: str, read_format: ReadFormat,
+                            threads: int, read1: str, index, read2=None,
+                            mapping_options=None) -> str:
+    """Mapper command string (bam_generator.rs:927-1040), without the
+    samtools stages."""
+    if mapping_program in ("bwa-mem", "bwa-mem2"):
+        read_params1 = "-p" if read_format == ReadFormat.INTERLEAVED else ""
+    elif mapping_program == "strobealign":
+        read_params1 = ("--interleaved"
+                        if read_format == ReadFormat.INTERLEAVED else "")
+    elif mapping_program == "rammap-sr":
+        read_params1 = "--frag no" if read_format == ReadFormat.SINGLE else ""
+    else:
+        read_params1 = ""
+
+    if read_format == ReadFormat.COUPLED:
+        read_params2 = f"'{read1}' '{read2}'"
+    else:
+        read_params2 = f"'{read1}'"
+
+    if mapping_program == "bwa-mem":
+        prog = "bwa mem"
+    elif mapping_program == "bwa-mem2":
+        prog = "bwa-mem2 mem"
+    elif mapping_program == "strobealign":
+        prog = "strobealign"
+    elif mapping_program == "minibwa":
+        prog = "minibwa map"
+    elif mapping_program.startswith("rammap"):
+        preset = {
+            "rammap-sr": "-x sr ", "rammap-ont": "-x map-ont ",
+            "rammap-pb": "-x map-pb ", "rammap-hifi": "-x map-hifi ",
+            "rammap-lr-hq": "-x 'lr:hq' ", "rammap-no-preset": "",
+        }[mapping_program]
+        prog = f"rammap {preset}-a".replace("  ", " ")
+    else:  # minimap2 family
+        preset = {
+            "minimap2-sr": "-x sr", "minimap2-ont": "-x map-ont",
+            "minimap2-pb": "-x map-pb", "minimap2-hifi": "-x map-hifi",
+            "minimap2-lr-hq": "-x 'lr:hq'", "minimap2-no-preset": "",
+        }[mapping_program]
+        split_prefix = tempfile.mktemp(prefix="coverm-tpu-minimap2-split")
+        prog = f"minimap2 --split-prefix {split_prefix} -a {preset}".rstrip()
+
+    opts = mapping_options or ""
+    return (f"{prog} {opts} -t {threads} {read_params1} "
+            f"{index.command_prefix()}'{index.index_path()}' {read_params2}")
+
+
+def name_stoit(index_path: str, read1_path: str,
+               include_reference_in_stoit_name: bool) -> str:
+    """Stoit naming (bam_generator.rs:208-228)."""
+    prefix = (os.path.basename(index_path) + "/"
+              if include_reference_in_stoit_name else "")
+    return prefix + os.path.basename(read1_path)
+
+
+class MappedReadsSource:
+    """Run a mapper, consume its SAM stdout, sort in-engine."""
+
+    def __init__(self, mapping_program, index, job, stoit_name,
+                 cached_bam_path=None, discard_unmapped=False):
+        self.mapping_program = mapping_program
+        self.index = index
+        self.job = job
+        self.stoit_name = stoit_name
+        self.cached_bam_path = cached_bam_path
+        self.discard_unmapped = discard_unmapped
+        self.num_primary_override = None
+
+    @property
+    def name(self):
+        return self.stoit_name
+
+    def read(self):
+        check_mapper(self.mapping_program)
+        cmd = build_mapper_invocation(
+            self.mapping_program, self.job.read_format, self.job.threads,
+            self.job.read1, self.index, self.job.read2,
+            self.job.mapping_options)
+        proc = subprocess.Popen(["bash", "-c", "set -o pipefail; " + cmd],
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE)
+        data = sam_text_to_bam_data(iter(proc.stdout))
+        stderr = proc.stderr.read()
+        rc = proc.wait()
+        if rc != 0:
+            raise RuntimeError(
+                f"Mapping command '{cmd}' failed with exit code {rc}; "
+                f"stderr: {stderr.decode(errors='replace')[-2000:]}")
+        if (self.mapping_program.startswith("minimap2")
+                and b"query files have different number of records" in stderr):
+            raise RuntimeError(
+                "The STDERR for the minimap2 command run for mapping "
+                "indicated a problem: read1 and read2 have different numbers "
+                "of records")
+        header, batch = parse_bam_data_raw(data)
+        batch = sort_batch(batch)
+        if self.cached_bam_path is not None:
+            write_bam(self.cached_bam_path, header, batch,
+                      discard_unmapped=self.discard_unmapped)
+        return header, batch
+
+    def finish(self):
+        self.index.cleanup()
+
+
+def sort_batch(batch):
+    """Reference-order sort: unmapped (tid -1) last, then (tid, pos) —
+    htslib coordinate-sort semantics."""
+    tid_key = np.where(batch.tid < 0, np.iinfo(np.int32).max, batch.tid)
+    order = np.lexsort((batch.pos, tid_key))
+    return reorder_batch(batch, order)
+
+
+def reorder_batch(batch, order):
+    from ..io.bam import RecordBatch
+    remap = np.empty(batch.n_records, dtype=np.int64)
+    remap[order] = np.arange(order.size)
+    bkeep = np.argsort(remap[batch.block_read], kind="stable")
+    return RecordBatch(
+        n_records=batch.n_records,
+        tid=batch.tid[order], pos=batch.pos[order], flag=batch.flag[order],
+        mapq=batch.mapq[order], nm=batch.nm[order],
+        as_score=batch.as_score[order], seq_len=batch.seq_len[order],
+        aligned_cov=batch.aligned_cov[order],
+        aligned_single=batch.aligned_single[order],
+        aligned_pair=batch.aligned_pair[order], indels=batch.indels[order],
+        read_end=batch.read_end[order], qname_hash=batch.qname_hash[order],
+        rec_start=batch.rec_start[order], rec_end=batch.rec_end[order],
+        block_read=remap[batch.block_read[bkeep]].astype(np.int32),
+        block_start=batch.block_start[bkeep],
+        block_end=batch.block_end[bkeep],
+        data=batch.data,
+    )
+
+
+def write_bam(path, header, batch, discard_unmapped=False, mask=None,
+              order=None):
+    """Write a BAM from raw record bytes through our BGZF encoder."""
+    keep = np.ones(batch.n_records, dtype=bool) if mask is None else mask
+    if discard_unmapped:
+        keep = keep & ~batch.is_unmapped()
+    idx = np.flatnonzero(keep) if order is None else order
+    data = batch.data
+    with open(path, "wb") as f:
+        w = bgzf.BgzfWriter(f)
+        w.write(header.raw)
+        for i in idx:
+            w.write(data[batch.rec_start[i]:batch.rec_end[i]])
+        w.close()
+
+
+def _resolve_references(args):
+    """Resolve -r/--reference or genome FASTA files into mapping
+    references; generates the concatenated reference when needed."""
+    tempfiles = []
+    if getattr(args, "reference", None):
+        refs = list(args.reference)
+    else:
+        from ..commands import parse_list_of_genome_fasta_files
+        genome_files = parse_list_of_genome_fasta_files(args)
+        if not genome_files:
+            raise SystemExit(
+                "Need either a reference (-r), BAM files (-b) or genome "
+                "FASTA files to continue")
+        path = generate_concatenated_fasta_file(genome_files)
+        tempfiles.append(path)
+        refs = [path]
+    return refs, tempfiles
+
+
+def build_mapping_sources(args, filter_params, flag_filters):
+    """get_streamed_bam_readers equivalent (coverm.rs:1788-1840)."""
+    refs, tempfiles = _resolve_references(args)
+    include_ref_in_name = bool(getattr(args, "reference", None)) and \
+        len(tempfiles) == 0
+    params = MappingParameters.generate_from_args(args, refs)
+
+    cache_dir = getattr(args, "bam_file_cache_directory", None)
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+
+    sources = []
+    for ref, jobs in params.references:
+        index = setup_mapping_index(ref, args.mapper, threads=args.threads)
+        for job in jobs:
+            cached = None
+            if cache_dir:
+                cached = os.path.join(
+                    cache_dir,
+                    os.path.basename(ref) + "." +
+                    os.path.basename(job.read1) + ".bam")
+            src = MappedReadsSource(
+                args.mapper, index, job,
+                name_stoit(index.index_path(), job.read1, include_ref_in_name),
+                cached_bam_path=cached,
+                discard_unmapped=getattr(args, "discard_unmapped", False))
+            sources.append(src)
+
+    if filter_params.doing_filtering():
+        sources = [FilteredMappedSource(s, filter_params, flag_filters)
+                   for s in sources]
+    return sources, flag_filters
+
+
+class FilteredMappedSource:
+    """Wrap any source with inline read filtering."""
+
+    def __init__(self, inner, params, flag_filters):
+        self.inner = inner
+        self.params = params
+        self.flag_filters = flag_filters
+        self.num_primary_override = None
+
+    @property
+    def name(self):
+        return self.inner.name
+
+    def read(self):
+        from ..readfilter import apply_read_filter
+        header, batch = self.inner.read()
+        self.num_primary_override = int(np.count_nonzero(batch.is_primary()))
+        keep, _ = apply_read_filter(batch, self.params, self.flag_filters,
+                                    filter_out=True)
+        return header, batch.select(keep)
+
+    def finish(self):
+        self.inner.finish()
+
+
+def make_bams(args):
+    """`coverm make` (coverm.rs:664-723)."""
+    out_dir = args.output_directory
+    if not os.path.isdir(out_dir):
+        os.makedirs(out_dir, exist_ok=True)
+    refs, _tempfiles = _resolve_references(args)
+    params = MappingParameters.generate_from_args(args, refs)
+    for ref, jobs in params.references:
+        index = setup_mapping_index(ref, args.mapper, threads=args.threads)
+        for job in jobs:
+            out_path = os.path.join(
+                out_dir,
+                os.path.basename(ref) + "." + os.path.basename(job.read1)
+                + ".bam")
+            src = MappedReadsSource(
+                args.mapper, index, job, name_stoit(ref, job.read1, True),
+                cached_bam_path=out_path,
+                discard_unmapped=getattr(args, "discard_unmapped", False))
+            src.read()
+        index.cleanup()
+    return 0
+
+
+def makedb(args):
+    """`coverm makedb` (coverm.rs:725-905)."""
+    from .index import generate_persistent_index
+    if args.reference:
+        refs = list(args.reference)
+    else:
+        from ..commands import parse_list_of_genome_fasta_files
+        genome_files = parse_list_of_genome_fasta_files(args)
+        if not genome_files:
+            raise SystemExit("makedb needs -r or genome FASTA files")
+        refs = [generate_concatenated_fasta_file(
+            genome_files, os.path.join(args.output_directory,
+                                       "coverm-genomes.fna"))]
+        os.makedirs(args.output_directory, exist_ok=True)
+    for ref in refs:
+        out = generate_persistent_index(ref, args.mapper,
+                                        args.output_directory, args.threads)
+        print(f"Generated {args.mapper} database at {out}")
+        print(f"Use it with e.g.: coverm-tpu contig -r {out} "
+              f"-p {args.mapper} -1 reads_1.fq -2 reads_2.fq")
+    return 0
