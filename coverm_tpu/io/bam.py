@@ -255,7 +255,11 @@ def _scan_aux(data, aux_starts, aux_ends):
 
 def parse_bam_bytes(raw: bytes) -> tuple:
     """Decode a whole (BGZF-compressed) BAM byte string."""
-    return parse_bam_data_raw(bgzf.decompress_all(raw))
+    from . import native
+    data = native.bgzf_decompress(raw)
+    if data is None:
+        data = bgzf.decompress_all(raw)
+    return parse_bam_data_raw(data)
 
 
 def parse_bam_data_raw(data: bytes) -> tuple:
@@ -264,16 +268,22 @@ def parse_bam_data_raw(data: bytes) -> tuple:
     arr = np.frombuffer(data, dtype=np.uint8)
     n_bytes = len(data)
 
-    # 1. sequential walk for record offsets
-    rec_offs = []
-    p = off
-    while p + 4 <= n_bytes:
-        (block_size,) = struct.unpack_from("<I", data, p)
-        if block_size == 0:
-            break
-        rec_offs.append(p)
-        p += 4 + block_size
-    rec_offs = np.asarray(rec_offs, dtype=np.int64)
+    # 1. record offsets + aux tags + qname hashes (native fast path)
+    from . import native
+    native_scan = native.scan_records(data, off)
+    if native_scan is not None:
+        rec_offs, native_nm, native_as, native_qh = native_scan
+    else:
+        native_nm = None
+        rec_offs = []
+        p = off
+        while p + 4 <= n_bytes:
+            (block_size,) = struct.unpack_from("<I", data, p)
+            if block_size == 0:
+                break
+            rec_offs.append(p)
+            p += 4 + block_size
+        rec_offs = np.asarray(rec_offs, dtype=np.int64)
     n = rec_offs.size
     if n == 0:
         empty_i32 = np.empty(0, dtype=np.int32)
@@ -342,20 +352,22 @@ def parse_bam_data_raw(data: bytes) -> tuple:
     ref_len = np.bincount(rec_of_op, weights=ref_adv, minlength=n).astype(np.int64)
     read_end = (pos.astype(np.int64) + ref_len).astype(np.int32)
 
-    # 4. qname hashes (FNV-1a over the name bytes, vectorised per length class)
-    qname_hash = np.full(n, _FNV_OFFSET, dtype=np.uint64)
-    name_len = l_read_name - 1  # excludes NUL
-    max_len = int(name_len.max()) if n else 0
-    with np.errstate(over="ignore"):
-        for i in range(max_len):
-            act = name_len > i
-            b = arr[rec_offs[act] + 36 + i].astype(np.uint64)
-            qname_hash[act] = (qname_hash[act] ^ b) * _FNV_PRIME
+    # 4./5. qname hashes + aux tags (python fallback when no native lib)
+    if native_nm is not None:
+        qname_hash, nm, asv = native_qh, native_nm, native_as
+    else:
+        qname_hash = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+        name_len = l_read_name - 1  # excludes NUL
+        max_len = int(name_len.max()) if n else 0
+        with np.errstate(over="ignore"):
+            for i in range(max_len):
+                act = name_len > i
+                b = arr[rec_offs[act] + 36 + i].astype(np.uint64)
+                qname_hash[act] = (qname_hash[act] ^ b) * _FNV_PRIME
 
-    # 5. aux tags
-    seq_bytes = ((l_seq.astype(np.int64) + 1) // 2)
-    aux_start = cig_start + 4 * n_cigar + seq_bytes + l_seq
-    nm, asv = _scan_aux(arr, aux_start, rec_end)
+        seq_bytes = ((l_seq.astype(np.int64) + 1) // 2)
+        aux_start = cig_start + 4 * n_cigar + seq_bytes + l_seq
+        nm, asv = _scan_aux(arr, aux_start, rec_end)
 
     batch = RecordBatch(
         n_records=n, tid=tid, pos=pos, flag=flag, mapq=mapq,

@@ -1,0 +1,122 @@
+"""ctypes binding for the native C++ BAM ingestion library.
+
+Compiles lazily with the in-tree Makefile on first use (falling back to
+the pure-python path when no toolchain is available).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_lib = None
+_lock = threading.Lock()
+_tried = False
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libcovermio.so"))
+
+
+def get_lib():
+    """Return the loaded native library, building it if needed, or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("COVERM_TPU_NO_NATIVE"):
+            return None
+        if not os.path.exists(_SO_PATH):
+            try:
+                subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                               capture_output=True, check=True, timeout=300)
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            return None
+        c_i64 = ctypes.c_int64
+        c_u8p = ctypes.POINTER(ctypes.c_uint8)
+        c_i64p = ctypes.POINTER(ctypes.c_int64)
+        c_u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.ct_bgzf_scan.restype = c_i64
+        lib.ct_bgzf_scan.argtypes = [c_u8p, c_i64, c_i64p, c_i64p, c_i64p]
+        lib.ct_bgzf_inflate.restype = ctypes.c_int
+        lib.ct_bgzf_inflate.argtypes = [c_u8p, c_i64, c_i64p, c_i64p, c_i64p,
+                                        c_i64p, c_u8p, ctypes.c_int32]
+        lib.ct_count_records.restype = c_i64
+        lib.ct_count_records.argtypes = [c_u8p, c_i64, c_i64]
+        lib.ct_scan_records.restype = c_i64
+        lib.ct_scan_records.argtypes = [c_u8p, c_i64, c_i64, c_i64, c_i64p,
+                                        c_i64p, c_i64p, c_u64p]
+        _lib = lib
+        return _lib
+
+
+def _u8p(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i64p(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _u64p(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def bgzf_decompress(raw: bytes, n_threads: int = 0) -> bytes | None:
+    """Multi-threaded BGZF decode; None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    data = np.frombuffer(raw, dtype=np.uint8)
+    n = lib.ct_bgzf_scan(_u8p(data), data.size, None, None, None)
+    if n < 0:
+        return None
+    off = np.empty(n, np.int64)
+    csz = np.empty(n, np.int64)
+    usz = np.empty(n, np.int64)
+    lib.ct_bgzf_scan(_u8p(data), data.size, _i64p(off), _i64p(csz), _i64p(usz))
+    out_off = np.concatenate(([0], np.cumsum(usz)))[:-1]
+    total = int(usz.sum())
+    out = np.empty(total, np.uint8)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 8)
+    rc = lib.ct_bgzf_inflate(_u8p(data), n, _i64p(off), _i64p(csz),
+                             _i64p(usz), _i64p(out_off), _u8p(out),
+                             n_threads)
+    if rc != 0:
+        return None
+    return out.tobytes()
+
+
+def scan_records(data: bytes, header_end: int):
+    """Native record-offset walk + NM/AS aux scan + qname hashing.
+
+    Returns (rec_off, nm, as_score, qname_hash) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = lib.ct_count_records(_u8p(arr), arr.size, header_end)
+    rec_off = np.empty(n, np.int64)
+    nm = np.empty(n, np.int64)
+    as_score = np.empty(n, np.int64)
+    qh = np.empty(n, np.uint64)
+    filled = lib.ct_scan_records(_u8p(arr), arr.size, header_end, n,
+                                 _i64p(rec_off), _i64p(nm), _i64p(as_score),
+                                 _u64p(qh))
+    if filled < 0:
+        raise ValueError(
+            f"Unknown aux tag type while scanning BAM record {-filled - 1}")
+    if filled != n:
+        return None
+    return rec_off, nm, as_score, qh

@@ -1,0 +1,204 @@
+// Native host-side BAM ingestion for coverm-tpu.
+//
+// Replaces the engine's hottest host loops (the analogue of htslib's role
+// in the reference, SURVEY.md §2.2):
+//   1. multi-threaded BGZF decompression (each gzip member's output offset
+//      is the prefix sum of the ISIZE fields, so blocks inflate in
+//      parallel into one buffer);
+//   2. the sequential record-offset walk;
+//   3. the per-record aux-tag scan (NM / AS) and FNV-1a qname hashing.
+//
+// Exposed as a plain C ABI consumed via ctypes (io/native.py).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libcovermio.so bamdecode.cpp -lz -lpthread
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------- BGZF ----
+
+// Scan BGZF blocks: returns number of blocks, fills (when non-null)
+// per-block compressed offset/size and uncompressed size. Returns -1 on
+// malformed input.
+int64_t ct_bgzf_scan(const uint8_t* data, int64_t len, int64_t* block_off,
+                     int64_t* block_csize, int64_t* block_usize) {
+  int64_t n = 0;
+  int64_t pos = 0;
+  while (pos + 18 <= len) {
+    if (data[pos] != 0x1f || data[pos + 1] != 0x8b) return -1;
+    uint16_t xlen = (uint16_t)(data[pos + 10] | (data[pos + 11] << 8));
+    // find BC subfield for BSIZE
+    int64_t xp = pos + 12;
+    int64_t xend = xp + xlen;
+    int64_t bsize = -1;
+    while (xp + 4 <= xend) {
+      uint8_t s1 = data[xp], s2 = data[xp + 1];
+      uint16_t slen = (uint16_t)(data[xp + 2] | (data[xp + 3] << 8));
+      if (s1 == 'B' && s2 == 'C' && slen == 2) {
+        bsize = (int64_t)(data[xp + 4] | (data[xp + 5] << 8)) + 1;
+      }
+      xp += 4 + slen;
+    }
+    if (bsize < 0) return -1;
+    if (pos + bsize > len) break;
+    uint32_t isize;
+    memcpy(&isize, data + pos + bsize - 4, 4);
+    if (block_off) {
+      block_off[n] = pos;
+      block_csize[n] = bsize;
+      block_usize[n] = isize;
+    }
+    n++;
+    pos += bsize;
+  }
+  return n;
+}
+
+// Inflate all blocks in parallel into out (caller sized from Σ usize).
+int ct_bgzf_inflate(const uint8_t* data, int64_t n_blocks,
+                    const int64_t* block_off, const int64_t* block_csize,
+                    const int64_t* block_usize, const int64_t* out_off,
+                    uint8_t* out, int32_t n_threads) {
+  std::atomic<int64_t> next(0);
+  std::atomic<int> err(0);
+  auto worker = [&]() {
+    while (true) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n_blocks || err.load()) return;
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      if (inflateInit2(&zs, -15) != Z_OK) { err.store(1); return; }
+      // skip the gzip header: 12 fixed + xlen
+      uint16_t xlen = (uint16_t)(data[block_off[i] + 10] |
+                                 (data[block_off[i] + 11] << 8));
+      int64_t payload_off = block_off[i] + 12 + xlen;
+      int64_t payload_len = block_csize[i] - 12 - xlen - 8;
+      zs.next_in = const_cast<uint8_t*>(data + payload_off);
+      zs.avail_in = (uInt)payload_len;
+      zs.next_out = out + out_off[i];
+      zs.avail_out = (uInt)block_usize[i];
+      int r = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (r != Z_STREAM_END && !(r == Z_OK && zs.avail_out == 0) &&
+          !(r == Z_BUF_ERROR && block_usize[i] == 0)) {
+        err.store(2);
+        return;
+      }
+    }
+  };
+  int nt = n_threads < 1 ? 1 : n_threads;
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; t++) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+  return err.load();
+}
+
+// -------------------------------------------------------------- records ----
+
+// Count records from `start` (end of header block) to `len`.
+int64_t ct_count_records(const uint8_t* data, int64_t len, int64_t start) {
+  int64_t n = 0;
+  int64_t pos = start;
+  while (pos + 4 <= len) {
+    uint32_t bs;
+    memcpy(&bs, data + pos, 4);
+    if (bs == 0) break;
+    n++;
+    pos += 4 + (int64_t)bs;
+  }
+  return n;
+}
+
+// Fill per-record arrays: offsets, NM, AS, qname hash. Caller allocates
+// n-sized arrays. Returns number filled, or -(record index+1) on a
+// malformed aux region.
+int64_t ct_scan_records(const uint8_t* data, int64_t len, int64_t start,
+                        int64_t n, int64_t* rec_off, int64_t* nm,
+                        int64_t* as_score, uint64_t* qname_hash) {
+  const int64_t AS_MISSING = INT64_MIN;
+  int64_t pos = start;
+  for (int64_t r = 0; r < n; r++) {
+    if (pos + 4 > len) return r;
+    uint32_t bs;
+    memcpy(&bs, data + pos, 4);
+    if (bs == 0) return r;
+    rec_off[r] = pos;
+    const uint8_t* rec = data + pos + 4;
+    int64_t rec_len = bs;
+
+    uint8_t l_read_name = rec[8];
+    uint16_t n_cigar;
+    memcpy(&n_cigar, rec + 12, 2);
+    int32_t l_seq;
+    memcpy(&l_seq, rec + 16, 4);
+
+    // FNV-1a over the qname (excluding NUL)
+    uint64_t h = 0xcbf29ce484222325ULL;
+    const uint8_t* q = rec + 32;
+    for (int i = 0; i < l_read_name - 1; i++) {
+      h ^= q[i];
+      h *= 0x100000001b3ULL;
+    }
+    qname_hash[r] = h;
+
+    int64_t aux = 32 + l_read_name + 4LL * n_cigar + (l_seq + 1) / 2 + l_seq;
+    int64_t nm_v = -1, as_v = AS_MISSING;
+    int found = 0;
+    while (aux + 3 <= rec_len && found < 2) {
+      uint8_t t0 = rec[aux], t1 = rec[aux + 1], typ = rec[aux + 2];
+      aux += 3;
+      int64_t val = 0;
+      int has_val = 1;
+      switch (typ) {
+        case 'A':
+        case 'C': val = rec[aux]; aux += 1; break;
+        case 'c': val = (int8_t)rec[aux]; aux += 1; break;
+        case 'S': val = rec[aux] | (rec[aux + 1] << 8); aux += 2; break;
+        case 's': val = (int16_t)(rec[aux] | (rec[aux + 1] << 8)); aux += 2; break;
+        case 'I': {
+          uint32_t v; memcpy(&v, rec + aux, 4); val = v; aux += 4; break;
+        }
+        case 'i': {
+          int32_t v; memcpy(&v, rec + aux, 4); val = v; aux += 4; break;
+        }
+        case 'f': aux += 4; has_val = 0; break;
+        case 'Z':
+        case 'H': {
+          while (aux < rec_len && rec[aux] != 0) aux++;
+          aux++;
+          has_val = 0;
+          break;
+        }
+        case 'B': {
+          uint8_t sub = rec[aux];
+          uint32_t cnt; memcpy(&cnt, rec + aux + 1, 4);
+          int esz = (sub == 'c' || sub == 'C') ? 1
+                    : (sub == 's' || sub == 'S') ? 2 : 4;
+          aux += 5 + (int64_t)cnt * esz;
+          has_val = 0;
+          break;
+        }
+        default:
+          return -(r + 1);
+      }
+      if (has_val) {
+        if (t0 == 'N' && t1 == 'M') { nm_v = val; found++; }
+        else if (t0 == 'A' && t1 == 'S') { as_v = val; found++; }
+      }
+    }
+    nm[r] = nm_v;
+    as_score[r] = as_v;
+    pos += 4 + (int64_t)bs;
+  }
+  return n;
+}
+
+}  // extern "C"
