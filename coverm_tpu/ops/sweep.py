@@ -50,14 +50,15 @@ _MASK32 = (1 << 32) - 1
 
 
 @partial(jax.jit, static_argnames=("n_seg", "ee"))
-def _fused_sweep(tids, starts, ends, valid_block, seg_len, n_seg, ee):
+def _fused_sweep(tids, starts, ends, valid_block, end_keep, seg_len, n_seg,
+                 ee):
     """Events + sort + sweep + per-contig reductions, scan-only.
 
     tids/starts/ends: int32[B] (padded; valid_block False on padding)
+    end_keep: bool[B] precomputed on host (end < contig length) — avoids a
+              B-sized device gather from the length table
     seg_len: int64[n_seg] contig lengths (0 for unused segments)
     """
-    lengths_of_block = seg_len[jnp.where(valid_block, tids, 0)]
-    end_keep = valid_block & (ends.astype(jnp.int64) < lengths_of_block)
 
     seg_b = tids.astype(jnp.int64)
     # keys: seg<<33 | (pos+1)<<1 ; sentinels use pos-field 0 so they sort
@@ -192,9 +193,12 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
         seg_len_dev = _device_lengths(layout, n_seg)
         n_out = C
 
+    end_keep_real = ends < layout.lengths[tids]
     B = _bucket(seg_ids.size)
     pad = B - seg_ids.size
     valid = np.ones(B, dtype=bool)
+    end_keep = np.zeros(B, dtype=bool)
+    end_keep[: seg_ids.size] = end_keep_real
     if pad:
         valid[seg_ids.size:] = False
         z = np.zeros(pad, np.int32)
@@ -206,8 +210,8 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
         ends = ends.astype(np.int32)
 
     r = _fused_sweep(jnp.asarray(seg_ids), jnp.asarray(starts),
-                     jnp.asarray(ends), jnp.asarray(valid), seg_len_dev,
-                     n_seg, ee)
+                     jnp.asarray(ends), jnp.asarray(valid),
+                     jnp.asarray(end_keep), seg_len_dev, n_seg, ee)
 
     sum_w, cov_w, cov_f, max_w = [np.asarray(jax.device_get(x)) for x in r[:4]]
     out = DepthStats(zero(), zero(), zero(), zero(), None)

@@ -116,7 +116,9 @@ class SparseCachedCoveragePrinter(CoveragePrinter):
                         if nmr == 0:
                             stream.write("\t0")
                         else:
-                            v64 = f64(np.exp(np.log(cov) - np.log(coverage_totals[i]))) * f64(10**6)
+                            with np.errstate(divide="ignore"):
+                                v64 = f64(np.exp(np.log(cov) - np.log(
+                                    coverage_totals[i]))) * f64(10**6)
                             from .floatfmt import format_f64
                             stream.write("\t" + format_f64(v64))
                     else:
@@ -201,8 +203,9 @@ class DenseCachedCoveragePrinter(CoveragePrinter):
                         if nmr == 0:
                             stream.write("\t0")
                         else:
-                            v = f32(np.exp(np.log(cov) - np.log(
-                                coverage_totals[ecs.stoit_index][i]))) * f32(10**6)
+                            with np.errstate(divide="ignore"):
+                                v = f32(np.exp(np.log(cov) - np.log(
+                                    coverage_totals[ecs.stoit_index][i]))) * f32(10**6)
                             stream.write("\t" + format_f32(v))
                     else:
                         stream.write("\t" + format_f32(cov))
