@@ -105,6 +105,47 @@ def add_coverage_args(p, genome_mode: bool):
     p.add_argument("--gff-feature-type", default=None)
 
 
+def add_dereplication_args(p, prefix=""):
+    """galah-bridged clustering flags (cli.rs:35-66, 1382-1445)."""
+    d = prefix.replace("-", "_")
+    p.add_argument(f"--{prefix}ani", dest=f"{d}ani", type=float, default=95.0)
+    p.add_argument(f"--{prefix}prethreshold-ani",
+                   dest=f"{d}prethreshold_ani", type=float, default=90.0)
+    p.add_argument(f"--{prefix}quality-formula", dest=f"{d}quality_formula",
+                   default="completeness-4contamination",
+                   choices=["completeness-4contamination",
+                            "completeness-5contamination", "Parks2020_reduced",
+                            "dRep"])
+    p.add_argument(f"--{prefix}precluster-method",
+                   dest=f"{d}precluster_method", default="dashing")
+    p.add_argument(f"--{prefix}cluster-method", dest=f"{d}cluster_method",
+                   default="skani")
+    p.add_argument(f"--{prefix}aligned-fraction",
+                   dest=f"{d}aligned_fraction", type=float, default=15.0)
+    p.add_argument(f"--{prefix}fragment-length", dest=f"{d}fragment_length",
+                   type=int, default=3000)
+    p.add_argument(f"--{prefix}output-cluster-definition",
+                   dest=f"{d}output_cluster_definition", default=None)
+    p.add_argument(f"--{prefix}output-representative-fasta-directory",
+                   dest=f"{d}output_representative_fasta_directory",
+                   default=None)
+    p.add_argument(f"--{prefix}output-representative-fasta-directory-copy",
+                   dest=f"{d}output_representative_fasta_directory_copy",
+                   default=None)
+    p.add_argument(f"--{prefix}output-representative-list",
+                   dest=f"{d}output_representative_list", default=None)
+    p.add_argument(f"--{prefix}reference-genomes",
+                   dest=f"{d}reference_genomes", nargs="+", default=None)
+
+
+def add_checkm_args(p):
+    p.add_argument("--checkm-tab-table", default=None)
+    p.add_argument("--checkm2-quality-report", default=None)
+    p.add_argument("--genome-info", default=None)
+    p.add_argument("--min-completeness", type=float, default=None)
+    p.add_argument("--max-contamination", type=float, default=None)
+
+
 def build_parser():
     parser = argparse.ArgumentParser(
         prog="coverm-tpu",
@@ -126,6 +167,8 @@ def build_parser():
     g.add_argument("--use-full-contig-names", action="store_true")
     g.add_argument("--exclude-genomes-from-deshard", default=None)
     g.add_argument("--dereplicate", action="store_true")
+    add_dereplication_args(g, prefix="dereplication-")
+    add_checkm_args(g)
 
     c = sub.add_parser("contig", help="Calculate coverage of contigs")
     add_coverage_args(c, genome_mode=False)
@@ -159,6 +202,15 @@ def build_parser():
     mdb.add_argument("-p", "--mapper", default="minimap2-sr",
                      choices=MAPPING_SOFTWARE_LIST)
     mdb.add_argument("-t", "--threads", type=int, default=1)
+
+    cl = sub.add_parser("cluster", help="Dereplicate and cluster genomes")
+    cl.add_argument("-f", "--genome-fasta-files", nargs="+", default=None)
+    cl.add_argument("-d", "--genome-fasta-directory", default=None)
+    cl.add_argument("-x", "--genome-fasta-extension", default="fna")
+    cl.add_argument("--genome-fasta-list", default=None)
+    cl.add_argument("-t", "--threads", type=int, default=1)
+    add_dereplication_args(cl, prefix="")
+    add_checkm_args(cl)
 
     sc = sub.add_parser("shell-completion", help="Generate shell completions")
     sc.add_argument("--shell", required=True)
@@ -326,6 +378,8 @@ def main(argv=None):
         return commands.run_filter(args)
     if args.subcommand == "make":
         return commands.run_make(args)
+    if args.subcommand == "cluster":
+        return commands.run_cluster(args)
     if args.subcommand == "makedb":
         return commands.run_makedb(args)
     if args.subcommand == "shell-completion":

@@ -139,8 +139,55 @@ def parse_separator(args):
     return CONCATENATED_FASTA_FILE_SEPARATOR
 
 
+def checkm_filter_genomes(args, genome_fasta_files):
+    """CheckM quality pre-filter (resolve_and_checkm_filter_genomes,
+    coverm.rs:1143-1189)."""
+    from .derep import (read_checkm2_quality_report, read_checkm_tab_table,
+                        read_genome_info)
+    from .genome_parsing import genome_name_from_path
+    min_comp = getattr(args, "min_completeness", None)
+    max_cont = getattr(args, "max_contamination", None)
+    if min_comp is None and max_cont is None:
+        return genome_fasta_files
+    quality = {}
+    if getattr(args, "checkm_tab_table", None):
+        quality.update(read_checkm_tab_table(args.checkm_tab_table))
+    if getattr(args, "checkm2_quality_report", None):
+        quality.update(read_checkm2_quality_report(args.checkm2_quality_report))
+    if getattr(args, "genome_info", None):
+        quality.update(read_genome_info(args.genome_info))
+    if not quality:
+        raise SystemExit(
+            "--min-completeness/--max-contamination require a CheckM table "
+            "(--checkm-tab-table, --checkm2-quality-report or --genome-info)")
+    out = []
+    for g in genome_fasta_files:
+        q = quality.get(genome_name_from_path(g))
+        if q is None:
+            raise SystemExit(
+                f"Genome {g} has no entry in the provided quality table")
+        if min_comp is not None and q.completeness < min_comp:
+            continue
+        if max_cont is not None and q.contamination > max_cont:
+            continue
+        out.append(g)
+    if not out:
+        raise SystemExit(
+            "All genomes were removed by the quality filter, so none remain "
+            "to be mapped to")
+    return out
+
+
 def run_genome(args):
     genome_fasta_files = parse_list_of_genome_fasta_files(args)
+    if genome_fasta_files:
+        genome_fasta_files = checkm_filter_genomes(args, genome_fasta_files)
+        if getattr(args, "dereplicate", False):
+            from .derep import dereplicate
+            genome_fasta_files = dereplicate(args, genome_fasta_files)
+            args.genome_fasta_files = genome_fasta_files
+            args.genome_fasta_directory = None
+            args.genome_fasta_list = None
     separator = parse_separator(args)
 
     genomes_and_contigs = None
@@ -238,5 +285,51 @@ def run_makedb(args):
     return makedb(args)
 
 
+def run_cluster(args):
+    """`coverm cluster` (coverm.rs:921-927 via the galah bridge)."""
+    from .derep import Clusterer, dereplicate
+    genome_fasta_files = parse_list_of_genome_fasta_files(args)
+    if not genome_fasta_files:
+        raise SystemExit("cluster requires genome FASTA files (-f/-d)")
+    genome_fasta_files = checkm_filter_genomes(args, genome_fasta_files)
+    args.dereplication_reference_genomes = getattr(
+        args, "reference_genomes", None)
+    args.dereplication_ani = args.ani
+    args.dereplication_prethreshold_ani = args.prethreshold_ani
+    args.dereplication_quality_formula = args.quality_formula
+    args.dereplication_output_cluster_definition = args.output_cluster_definition
+    args.dereplication_output_representative_list = args.output_representative_list
+    args.dereplication_output_representative_fasta_directory = (
+        args.output_representative_fasta_directory)
+    reps = dereplicate(args, genome_fasta_files)
+    print(f"Found {len(reps)} cluster representatives", file=sys.stderr)
+    if not (args.output_cluster_definition or args.output_representative_list
+            or args.output_representative_fasta_directory):
+        for r in reps:
+            print(r)
+    return 0
+
+
 def run_shell_completion(args):
-    raise SystemExit("shell-completion is not yet implemented for coverm-tpu")
+    """Generate a static completion script for the given shell."""
+    from .cli import METHODS, MAPPING_SOFTWARE_LIST
+    subcommands = ["genome", "contig", "filter", "make", "makedb", "cluster",
+                   "shell-completion"]
+    if args.shell == "bash":
+        script = (
+            "_coverm_tpu() {\n"
+            "  local cur=${COMP_WORDS[COMP_CWORD]}\n"
+            "  if [ $COMP_CWORD -eq 1 ]; then\n"
+            f"    COMPREPLY=( $(compgen -W \"{' '.join(subcommands)}\" -- $cur) )\n"
+            "  fi\n"
+            "}\n"
+            "complete -o default -F _coverm_tpu coverm-tpu\n")
+    elif args.shell == "zsh":
+        script = (
+            "#compdef coverm-tpu\n"
+            f"_arguments '1: :({' '.join(subcommands)})' '*: :_files'\n")
+    else:
+        raise SystemExit(f"Unsupported shell: {args.shell}")
+    with open(args.output_file, "w") as f:
+        f.write(script)
+    return 0

@@ -1,0 +1,266 @@
+"""Genome dereplication / clustering (the galah bridge, coverm.rs:1044-1133).
+
+The reference delegates to the galah crate, which shells out to
+skani/fastANI for pairwise ANI and orders genomes by CheckM quality.
+This engine is self-contained: ANI is estimated from FracMinHash k-mer
+sketches (Mash distance: ANI = 1 + ln(2j/(1+j))/k over the Jaccard j),
+quality comes from CheckM/CheckM2/genome-info tables when provided
+(quality formula: completeness - 4*contamination, galah's default) and
+falls back to assembly size, and clustering is galah's greedy scheme:
+walk genomes in quality order, each unclaimed genome becomes a
+representative and claims everything within the ANI threshold.
+
+Divergence note: ANI values are sketch estimates, not skani's
+alignment-based ANI; thresholds behave equivalently for the 95-99%
+dereplication ranges the CLI exposes.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .io.fasta import iter_fasta
+
+_CODE = np.full(256, 255, dtype=np.uint8)
+for i, c in enumerate("ACGT"):
+    _CODE[ord(c)] = i
+    _CODE[ord(c.lower())] = i
+_RC = np.array([3, 2, 1, 0], dtype=np.uint64)
+
+# splitmix64 constants for k-mer hashing
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        z = x + _SM_GAMMA
+        z = (z ^ (z >> np.uint64(30))) * _SM_M1
+        z = (z ^ (z >> np.uint64(27))) * _SM_M2
+        return z ^ (z >> np.uint64(31))
+
+
+def sketch_sequence_kmers(seq_codes: np.ndarray, k: int) -> np.ndarray:
+    """Canonical k-mer integers of one sequence (codes 0-3, 255=ambiguous)."""
+    n = seq_codes.size
+    if n < k:
+        return np.zeros(0, dtype=np.uint64)
+    valid = seq_codes != 255
+    codes = np.where(valid, seq_codes, 0).astype(np.uint64)
+    rc = _RC[codes]
+    fwd = np.zeros(n - k + 1, dtype=np.uint64)
+    rev = np.zeros(n - k + 1, dtype=np.uint64)
+    ok = np.ones(n - k + 1, dtype=bool)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            fwd = (fwd << np.uint64(2)) | codes[j : j + n - k + 1]
+            rev = rev | (rc[j : j + n - k + 1] << np.uint64(2 * j))
+            ok &= valid[j : j + n - k + 1]
+    canon = np.minimum(fwd, rev)
+    return canon[ok]
+
+
+def sketch_genome(path: str, k: int = 21, scale: int = 1000) -> np.ndarray:
+    """FracMinHash sketch: hashed canonical k-mers below 2^64/scale."""
+    threshold = np.uint64((1 << 64) // scale)
+    parts = []
+    total_len = 0
+    for _header, seq in iter_fasta(path):
+        total_len += len(seq)
+        codes = _CODE[np.frombuffer(seq.encode(), dtype=np.uint8)]
+        kmers = sketch_sequence_kmers(codes, k)
+        if kmers.size:
+            h = _splitmix64(kmers)
+            parts.append(h[h < threshold])
+    if not parts:
+        return np.zeros(0, dtype=np.uint64), total_len
+    return np.unique(np.concatenate(parts)), total_len
+
+
+def sketch_ani(a: np.ndarray, b: np.ndarray, k: int = 21) -> float:
+    """Mash-style ANI estimate from two sketches."""
+    if a.size == 0 or b.size == 0:
+        return 0.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    if inter == 0 or union == 0:
+        return 0.0
+    j = inter / union
+    return 100.0 * (1.0 + np.log(2.0 * j / (1.0 + j)) / k)
+
+
+@dataclass
+class GenomeQuality:
+    completeness: float = 100.0
+    contamination: float = 0.0
+
+    def score(self, formula: str = "completeness-4contamination") -> float:
+        if formula == "completeness-4contamination":
+            return self.completeness - 4.0 * self.contamination
+        if formula == "completeness-5contamination":
+            return self.completeness - 5.0 * self.contamination
+        return self.completeness - 4.0 * self.contamination
+
+
+def read_checkm_tab_table(path: str) -> dict:
+    """CheckM `--tab_table` output: name, ..., completeness, contamination."""
+    out = {}
+    with open(path) as f:
+        header = f.readline().rstrip("\n").split("\t")
+        try:
+            ci = header.index("Completeness")
+            coi = header.index("Contamination")
+        except ValueError:
+            ci, coi = 11, 12  # classic checkm qa column positions
+        for line in f:
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) <= max(ci, coi):
+                continue
+            out[cols[0]] = GenomeQuality(float(cols[ci]), float(cols[coi]))
+    return out
+
+
+def read_checkm2_quality_report(path: str) -> dict:
+    out = {}
+    with open(path) as f:
+        header = f.readline().rstrip("\n").split("\t")
+        ni = header.index("Name") if "Name" in header else 0
+        ci = header.index("Completeness") if "Completeness" in header else 1
+        coi = header.index("Contamination") if "Contamination" in header else 2
+        for line in f:
+            cols = line.rstrip("\n").split("\t")
+            out[cols[ni]] = GenomeQuality(float(cols[ci]), float(cols[coi]))
+    return out
+
+
+def read_genome_info(path: str) -> dict:
+    """drep genomeInfo csv: genome,completeness,contamination."""
+    out = {}
+    with open(path) as f:
+        header = f.readline()
+        for line in f:
+            cols = line.rstrip("\n").split(",")
+            if len(cols) >= 3:
+                name = cols[0]
+                for ext in (".fna", ".fa", ".fasta"):
+                    if name.endswith(ext):
+                        name = name[: -len(ext)]
+                out[name] = GenomeQuality(float(cols[1]), float(cols[2]))
+    return out
+
+
+@dataclass
+class Clusterer:
+    genome_paths: list
+    ani: float = 95.0
+    precluster_ani: float = 90.0
+    min_aligned_fraction: float = 0.15  # accepted but unused by sketch ANI
+    quality: dict = field(default_factory=dict)  # stem -> GenomeQuality
+    quality_formula: str = "completeness-4contamination"
+    k: int = 21
+    scale: int = 1000
+    reference_genomes: list = None  # pre-clustered representatives
+
+    def cluster(self):
+        """Return clusters as lists of indices into genome_paths; index 0 of
+        each cluster is the representative."""
+        from .genome_parsing import genome_name_from_path
+
+        n = len(self.genome_paths)
+        sketches = []
+        sizes = []
+        for p in self.genome_paths:
+            s, total = sketch_genome(p, self.k, self.scale)
+            sketches.append(s)
+            sizes.append(total)
+
+        def quality_key(i):
+            stem = genome_name_from_path(self.genome_paths[i])
+            q = self.quality.get(stem)
+            score = q.score(self.quality_formula) if q else 0.0
+            return (-score, -sizes[i], i)
+
+        ref_set = set()
+        if self.reference_genomes:
+            ref_idx = {p: i for i, p in enumerate(self.genome_paths)}
+            ref_set = {ref_idx[p] for p in self.reference_genomes
+                       if p in ref_idx}
+        order = sorted(range(n), key=quality_key)
+        # reference genomes are fixed representatives, claimed first
+        order = ([i for i in order if i in ref_set]
+                 + [i for i in order if i not in ref_set])
+
+        assigned = np.full(n, -1, dtype=np.int64)
+        clusters = []
+        for i in order:
+            if assigned[i] >= 0:
+                continue
+            members = [i]
+            assigned[i] = len(clusters)
+            for j in order:
+                if assigned[j] >= 0 or j == i:
+                    continue
+                if sketch_ani(sketches[i], sketches[j], self.k) >= self.ani:
+                    assigned[j] = len(clusters)
+                    members.append(j)
+            clusters.append(members)
+        return clusters
+
+
+def dereplicate(args, genome_fasta_files):
+    """--dereplicate flow (coverm.rs:1044-1133): cluster, write outputs,
+    return representative paths."""
+    quality = {}
+    if getattr(args, "checkm_tab_table", None):
+        quality.update(read_checkm_tab_table(args.checkm_tab_table))
+    if getattr(args, "checkm2_quality_report", None):
+        quality.update(read_checkm2_quality_report(args.checkm2_quality_report))
+    if getattr(args, "genome_info", None):
+        quality.update(read_genome_info(args.genome_info))
+
+    refs = list(getattr(args, "dereplication_reference_genomes", None) or [])
+    combined = refs + [g for g in genome_fasta_files if g not in refs]
+
+    clusterer = Clusterer(
+        genome_paths=combined,
+        ani=float(getattr(args, "dereplication_ani", None)
+                  or getattr(args, "ani", 95.0)),
+        precluster_ani=float(getattr(args, "dereplication_prethreshold_ani",
+                                     None) or 90.0),
+        quality=quality,
+        quality_formula=getattr(args, "dereplication_quality_formula", None)
+        or getattr(args, "quality_formula", None)
+        or "completeness-4contamination",
+        reference_genomes=refs or None,
+    )
+    clusters = clusterer.cluster()
+    reps = [combined[c[0]] for c in clusters]
+
+    out_def = (getattr(args, "dereplication_output_cluster_definition", None)
+               or getattr(args, "output_cluster_definition", None))
+    if out_def:
+        with open(out_def, "w") as f:
+            for c in clusters:
+                for member in c:
+                    f.write(f"{combined[c[0]]}\t{combined[member]}\n")
+    out_list = (getattr(args, "dereplication_output_representative_list", None)
+                or getattr(args, "output_representative_list", None))
+    if out_list:
+        with open(out_list, "w") as f:
+            for r in reps:
+                f.write(r + "\n")
+    out_dir = (getattr(args,
+                       "dereplication_output_representative_fasta_directory",
+                       None)
+               or getattr(args, "output_representative_fasta_directory", None))
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        for r in reps:
+            dst = os.path.join(out_dir, os.path.basename(r))
+            if not os.path.exists(dst):
+                os.symlink(os.path.abspath(r), dst)
+    return reps

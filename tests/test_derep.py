@@ -1,0 +1,77 @@
+"""Dereplication / cluster tests with synthetic genomes."""
+
+import numpy as np
+import pytest
+
+from coverm_tpu.cli import main
+from coverm_tpu.derep import Clusterer, sketch_ani, sketch_genome
+
+
+def write_genome(path, seq, name="c1"):
+    path.write_text(f">{name}\n{seq}\n")
+
+
+def random_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), n))
+
+
+def mutate(rng, seq, rate):
+    s = np.array(list(seq))
+    m = rng.random(len(s)) < rate
+    s[m] = rng.choice(list("ACGT"), int(m.sum()))
+    return "".join(s)
+
+
+@pytest.fixture
+def genome_trio(tmp_path):
+    rng = np.random.default_rng(7)
+    base = random_seq(rng, 60000)
+    near = mutate(rng, base, 0.01)      # ~99% ANI to base
+    far = random_seq(rng, 60000)        # unrelated
+    ga, gb, gc = tmp_path / "ga.fna", tmp_path / "gb.fna", tmp_path / "gc.fna"
+    write_genome(ga, base)
+    write_genome(gb, near)
+    write_genome(gc, far)
+    return str(ga), str(gb), str(gc)
+
+
+def test_sketch_ani_sanity(genome_trio):
+    ga, gb, gc = genome_trio
+    sa, _ = sketch_genome(ga)
+    sb, _ = sketch_genome(gb)
+    sc, _ = sketch_genome(gc)
+    assert sketch_ani(sa, sa) == pytest.approx(100.0)
+    assert 97.0 < sketch_ani(sa, sb) < 100.0
+    assert sketch_ani(sa, sc) < 80.0
+
+
+def test_cluster_greedy(genome_trio):
+    ga, gb, gc = genome_trio
+    clusters = Clusterer([ga, gb, gc], ani=95.0).cluster()
+    as_sets = sorted(sorted(c) for c in clusters)
+    assert as_sets == [[0, 1], [2]]
+
+
+def test_cluster_cli(genome_trio, tmp_path, capsys):
+    ga, gb, gc = genome_trio
+    out_def = tmp_path / "clusters.tsv"
+    rc = main(["cluster", "-f", ga, gb, gc, "--ani", "95",
+               "--output-cluster-definition", str(out_def)])
+    assert rc == 0
+    rows = [l.split("\t") for l in out_def.read_text().strip().split("\n")]
+    reps = {r[0] for r in rows}
+    assert len(reps) == 2
+    assert len(rows) == 3
+
+
+def test_quality_table_orders_representatives(genome_trio, tmp_path):
+    ga, gb, gc = genome_trio
+    # give gb a better CheckM score so it becomes the representative
+    qt = tmp_path / "quality.tsv"
+    qt.write_text("Name\tCompleteness\tContamination\n"
+                  "ga\t50\t5\ngb\t99\t0\ngc\t80\t1\n")
+    from coverm_tpu.derep import read_checkm2_quality_report
+    quality = read_checkm2_quality_report(str(qt))
+    clusters = Clusterer([ga, gb, gc], ani=95.0, quality=quality).cluster()
+    rep_of_pair = [c[0] for c in clusters if len(c) == 2][0]
+    assert rep_of_pair == 1  # gb wins on quality
