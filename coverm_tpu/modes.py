@@ -74,6 +74,40 @@ def _entity_stats(scan: SampleScan, layout: ReferenceLayout, observed_tids,
     return s
 
 
+def _prefetched(sources):
+    """Overlap host BAM decode of sample i+1 with compute of sample i
+    (the pipeline-parallelism analogue of the reference's
+    mapper|sort|scan subprocess overlap, SURVEY.md §2.3)."""
+    import queue
+    import threading
+
+    if len(sources) <= 1:
+        for s in sources:
+            yield s, s.read()
+        return
+    q = queue.Queue(maxsize=1)
+
+    def worker():
+        for s in sources:
+            try:
+                q.put((s, s.read(), None))
+            except BaseException as e:  # surface errors in the main thread
+                q.put((s, None, e))
+                return
+        q.put(None)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        s, hb, err = item
+        if err is not None:
+            raise err
+        yield s, hb
+
+
 def _emit_entry(taker, estimators, coverages, stats_list):
     """print_coverage per estimator (estimators.rs:936-969)."""
     for est, cov, st in zip(estimators, coverages, stats_list):
@@ -100,8 +134,7 @@ def contig_coverage(sources, taker, estimators, print_zero_coverage_contigs,
     need_hist = any_needs_hist(estimators)
     ee = _exclusion_of(estimators)
     start_transfer_warmup()
-    for source in sources:
-        header, batch = source.read()
+    for source, (header, batch) in _prefetched(sources):
         taker.start_stoit(source.name)
         layout = _layout_for(header, ee, layout_cache)
         scan = scan_sample(header, batch, layout, flag_filter, need_hist)
@@ -144,8 +177,7 @@ def genome_coverage_separator(sources, separator: str, taker, estimators,
     need_hist = any_needs_hist(estimators)
     ee = _exclusion_of(estimators)
     start_transfer_warmup()
-    for source in sources:
-        header, batch = source.read()
+    for source, (header, batch) in _prefetched(sources):
         taker.start_stoit(source.name)
         layout = _layout_for(header, ee, layout_cache)
         scan = scan_sample(header, batch, layout, flag_filter, need_hist)
@@ -238,8 +270,7 @@ def genome_coverage_named(sources, genomes_and_contigs, taker, estimators,
     need_hist = any_needs_hist(estimators)
     ee = _exclusion_of(estimators)
     start_transfer_warmup()
-    for source in sources:
-        header, batch = source.read()
+    for source, (header, batch) in _prefetched(sources):
         taker.start_stoit(source.name)
         layout = _layout_for(header, ee, layout_cache)
         scan = scan_sample(header, batch, layout, flag_filter, need_hist)
