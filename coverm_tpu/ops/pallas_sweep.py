@@ -1,0 +1,211 @@
+"""Pallas TPU kernel: fused post-sort sweep scan.
+
+After the event sort, the XLA path (`sweep._fused_sweep`) runs ~7
+separate scans (cumsum/cummax) plus a dozen elementwise passes — each a
+full HBM round-trip over the 2B-event arrays.  This kernel fuses the
+entire post-sort pipeline into ONE pass: a sequential grid over event
+tiles, with the inter-tile state (running sign sum, per-contig
+forward-fill registers, weighted cumulative sums) carried in SMEM
+scratch between grid steps.
+
+In-kernel algorithm per tile (events sorted by (contig, position)):
+  1. local inclusive scan of the ±1 signs  -> running depth
+  2. forward-fill of (contig, sentinel payload) pairs by lexicographic
+     max scan — recovers each event's contig length and the per-contig
+     depth carry without any gather
+  3. gap/window arithmetic (elementwise)
+  4. local i64 scans of the three weighted quantities
+  5. SMEM carries updated from the tile's last lane
+
+Outputs are the cumulative arrays (cs_sum/cs_cov/cs_ful), the depth and
+window-gap arrays for the histogram pass, and the (contig, max) fill
+pair; the consumer reads per-contig statistics as boundary differences
+exactly like the XLA path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_enable_x64", True)
+
+LANES = 128
+ROWS = 16  # tile = ROWS x LANES events
+TILE = ROWS * LANES
+PAD_POS = 1 << 30  # position marking padding events
+
+
+def _scan_rows_add(x):
+    """Inclusive add-scan along the flattened (row-major) tile order."""
+    x = jnp.cumsum(x, axis=1)
+    row_tot = x[:, -1:]
+    row_excl = jnp.cumsum(row_tot, axis=0) - row_tot
+    return x + row_excl
+
+
+def _lexmax(a, b):
+    """Pairwise lexicographic max of (s, v) pairs."""
+    s1, v1 = a
+    s2, v2 = b
+    take2 = (s2 > s1) | ((s2 == s1) & (v2 >= v1))
+    return (jnp.where(take2, s2, s1), jnp.where(take2, v2, v1))
+
+
+def _scan_rows_lexmax(s, v):
+    """Inclusive lexicographic-max scan of (s, v) pairs in tile order."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    cur = (s, v)
+    k = 1
+    while k < LANES:
+        shifted = (jnp.where(lane >= k, pltpu.roll(cur[0], k, 1), -1),
+                   jnp.where(lane >= k, pltpu.roll(cur[1], k, 1), 0))
+        cur = _lexmax(shifted, cur)
+        k *= 2
+    # carry row suffix maxima down to later rows
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    last_s = jnp.broadcast_to(cur[0][:, -1:], s.shape)
+    last_v = jnp.broadcast_to(cur[1][:, -1:], s.shape)
+    k = 1
+    while k < ROWS:
+        shifted = (jnp.where(row >= k, pltpu.roll(last_s, k, 0), -1),
+                   jnp.where(row >= k, pltpu.roll(last_v, k, 0), 0))
+        last_s, last_v = _lexmax(shifted, (last_s, last_v))
+        k *= 2
+    prev = (jnp.where(row >= 1, pltpu.roll(last_s, 1, 0), -1),
+            jnp.where(row >= 1, pltpu.roll(last_v, 1, 0), 0))
+    return _lexmax(prev, cur)
+
+
+def _sweep_kernel(seg_ref, pos_ref, sign_ref, paylen_ref, nseg_ref, npos_ref,
+                  cs_sum_ref, cs_cov_ref, cs_ful_ref, depth_ref, wlen_ref,
+                  maxs_ref, maxv_ref, carry_i32, carry_i64, *, ee):
+    t = pl.program_id(0)
+
+    seg = seg_ref[:]
+    pos = pos_ref[:]
+    sign = sign_ref[:]
+    paylen = paylen_ref[:]
+    next_seg = nseg_ref[:]
+    next_pos = npos_ref[:]
+
+    @pl.when(t == 0)
+    def _():
+        carry_i32[0] = 0    # running sign cumsum
+        carry_i32[1] = -1   # length-fill seg
+        carry_i32[2] = 0    # length-fill value
+        carry_i32[3] = -1   # carry-fill seg
+        carry_i32[4] = 0    # carry-fill value
+        carry_i32[5] = -1   # max-fill seg
+        carry_i32[6] = 0    # max-fill value
+        carry_i64[0] = 0    # cs_sum
+        carry_i64[1] = 0    # cs_cov
+        carry_i64[2] = 0    # cs_ful
+
+    # 1. running depth
+    gsign = _scan_rows_add(sign) + carry_i32[0]
+
+    is_sent = pos == -1
+
+    def fill(value, carry_s_idx, carry_v_idx):
+        """Forward-fill `value` from sentinel-style sparse entries, blending
+        the inter-tile carry pair."""
+        fs, fv = _scan_rows_lexmax(seg, value)
+        cs, cv = carry_i32[carry_s_idx], carry_i32[carry_v_idx]
+        take_carry = (cs > fs) | ((cs == fs) & (cv > fv))
+        return (jnp.where(take_carry, cs, fs),
+                jnp.where(take_carry, cv, fv))
+
+    # 2a. contig length fill; 2b. per-contig depth carry fill
+    ls, length = fill(jnp.where(is_sent, paylen, 0), 1, 2)
+    cs_, carry_v = fill(jnp.where(is_sent, gsign, 0), 3, 4)
+    depth = gsign - carry_v
+
+    # 3. gap/window arithmetic
+    same = next_seg == seg
+    gap_end = jnp.where(same, next_pos, length)
+    full_len = jnp.clip(jnp.minimum(gap_end, length) - jnp.maximum(pos, 0),
+                        0, None)
+    w_len = jnp.clip(jnp.minimum(gap_end, length - ee) - jnp.maximum(pos, ee),
+                     0, None)
+    w_len = jnp.where(length > 2 * ee, w_len, 0)
+    is_pad = pos >= PAD_POS
+    full_len = jnp.where(is_pad, 0, full_len)
+    w_len = jnp.where(is_pad, 0, w_len)
+
+    covered = depth > 0
+    prod = jnp.where(covered,
+                     depth.astype(jnp.int64) * w_len.astype(jnp.int64), 0)
+    covw = jnp.where(covered, w_len, 0).astype(jnp.int64)
+    covf = jnp.where(covered, full_len, 0).astype(jnp.int64)
+
+    # 4. i64 scans + carries
+    cs_sum = _scan_rows_add(prod) + carry_i64[0]
+    cs_cov = _scan_rows_add(covw) + carry_i64[1]
+    cs_ful = _scan_rows_add(covf) + carry_i64[2]
+
+    # max-depth fill pair
+    ms, mv = fill(jnp.where(covered & (w_len > 0), depth, 0), 5, 6)
+
+    cs_sum_ref[:] = cs_sum
+    cs_cov_ref[:] = cs_cov
+    cs_ful_ref[:] = cs_ful
+    depth_ref[:] = depth
+    wlen_ref[:] = w_len
+    maxs_ref[:] = ms
+    maxv_ref[:] = mv
+
+    # 5. update carries from the last element
+    carry_i32[0] = gsign[ROWS - 1, LANES - 1]
+    carry_i32[1] = ls[ROWS - 1, LANES - 1]
+    carry_i32[2] = length[ROWS - 1, LANES - 1]
+    carry_i32[3] = cs_[ROWS - 1, LANES - 1]
+    carry_i32[4] = carry_v[ROWS - 1, LANES - 1]
+    carry_i32[5] = ms[ROWS - 1, LANES - 1]
+    carry_i32[6] = mv[ROWS - 1, LANES - 1]
+    carry_i64[0] = cs_sum[ROWS - 1, LANES - 1]
+    carry_i64[1] = cs_cov[ROWS - 1, LANES - 1]
+    carry_i64[2] = cs_ful[ROWS - 1, LANES - 1]
+
+
+@partial(jax.jit, static_argnames=("ee", "interpret"))
+def pallas_sweep_scan(seg, pos, sign, paylen, next_seg, next_pos, ee,
+                      interpret=False):
+    """Run the fused sweep scan. All inputs int32[E], E % TILE == 0.
+
+    Returns (cs_sum, cs_cov, cs_ful, depth, w_len, max_seg, max_val)."""
+    E = seg.shape[0]
+    n_tiles = E // TILE
+    shape2d = (E // LANES, LANES)
+    args = [x.reshape(shape2d) for x in
+            (seg, pos, sign, paylen, next_seg, next_pos)]
+    in_specs = [pl.BlockSpec((ROWS, LANES), lambda t: (t, 0))
+                for _ in range(6)]
+    out_specs = [pl.BlockSpec((ROWS, LANES), lambda t: (t, 0))
+                 for _ in range(7)]
+    out_shape = [
+        jax.ShapeDtypeStruct(shape2d, jnp.int64),  # cs_sum
+        jax.ShapeDtypeStruct(shape2d, jnp.int64),  # cs_cov
+        jax.ShapeDtypeStruct(shape2d, jnp.int64),  # cs_ful
+        jax.ShapeDtypeStruct(shape2d, jnp.int32),  # depth
+        jax.ShapeDtypeStruct(shape2d, jnp.int32),  # w_len
+        jax.ShapeDtypeStruct(shape2d, jnp.int32),  # max fill seg
+        jax.ShapeDtypeStruct(shape2d, jnp.int32),  # max fill val
+    ]
+    outs = pl.pallas_call(
+        partial(_sweep_kernel, ee=ee),
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((8,), jnp.int32),
+                        pltpu.SMEM((4,), jnp.int64)],
+        interpret=interpret,
+    )(*args)
+    return tuple(o.reshape(E) for o in outs)

@@ -49,9 +49,9 @@ DENSE_REMAP_THRESHOLD = 1 << 16
 _MASK32 = (1 << 32) - 1
 
 
-@partial(jax.jit, static_argnames=("n_seg", "ee"))
+@partial(jax.jit, static_argnames=("n_seg", "ee", "with_max"))
 def _fused_sweep(tids, starts, ends, valid_block, end_keep, seg_len, n_seg,
-                 ee):
+                 ee, with_max=True):
     """Events + sort + sweep + per-contig reductions, scan-only.
 
     tids/starts/ends: int32[B] (padded; valid_block False on padding)
@@ -113,9 +113,10 @@ def _fused_sweep(tids, starts, ends, valid_block, end_keep, seg_len, n_seg,
     cs_sum = jnp.cumsum(jnp.where(covered, depth.astype(jnp.int64) * w_len, 0))
     cs_cov = jnp.cumsum(jnp.where(covered, w_len, 0))
     cs_ful = jnp.cumsum(jnp.where(covered, full_len, 0))
-    cm_max = jax.lax.cummax(
-        (seg_s << 33) + jnp.where(covered & (w_len > 0),
-                                  depth.astype(jnp.int64), 0))
+    if with_max:
+        cm_max = jax.lax.cummax(
+            (seg_s << 33) + jnp.where(covered & (w_len > 0),
+                                      depth.astype(jnp.int64), 0))
 
     # per-contig boundary positions: first event (the sentinel) of each seg
     bounds = jnp.searchsorted(key_s, (jnp.arange(
@@ -130,8 +131,13 @@ def _fused_sweep(tids, starts, ends, valid_block, end_keep, seg_len, n_seg,
     sum_w = seg_diff(cs_sum)
     cov_w = seg_diff(cs_cov)
     cov_f = seg_diff(cs_ful)
-    max_w = jnp.clip(cm_max[hi] - (jnp.arange(n_seg, dtype=jnp.int64) << 33), 0)
-    gmax = jnp.max(jnp.where(covered & (w_len > 0), depth, 0))
+    if with_max:
+        max_w = jnp.clip(
+            cm_max[hi] - (jnp.arange(n_seg, dtype=jnp.int64) << 33), 0)
+        gmax = jnp.max(jnp.where(covered & (w_len > 0), depth, 0))
+    else:
+        max_w = jnp.zeros(n_seg, jnp.int64)
+        gmax = jnp.zeros((), jnp.int32)
     return (sum_w, cov_w, cov_f, max_w, gmax, depth, w_len, seg_s)
 
 
@@ -139,7 +145,8 @@ def _fused_sweep(tids, starts, ends, valid_block, end_keep, seg_len, n_seg,
 def _sweep_hist(depth, w_len, seg_of_event, n_seg, n_bins):
     """Gap-weighted depth histogram via sort + cumsum + dense queries."""
     d = jnp.clip(depth, 0, n_bins - 1).astype(jnp.int64)
-    contrib = jnp.where((depth > 0) & (seg_of_event < n_seg), w_len, 0)
+    contrib = jnp.where((depth > 0) & (seg_of_event < n_seg),
+                        w_len.astype(jnp.int64), 0)
     bin_key = jnp.where(seg_of_event < n_seg,
                         seg_of_event * n_bins + d,
                         n_seg * n_bins)
@@ -151,6 +158,70 @@ def _sweep_hist(depth, w_len, seg_of_event, n_seg, n_bins):
     totals = ends[1:] - ends[:-1]
     # ends[i] = cumsum up to last element with key < i -> per-bin totals
     return totals.reshape(n_seg, n_bins)
+
+
+@partial(jax.jit, static_argnames=("n_seg", "ee"))
+def _fused_sweep_pallas(tids, starts, ends, valid_block, end_keep, seg_len,
+                        n_seg, ee):
+    """Sort in XLA, then run the fused Pallas sweep-scan kernel
+    (ops/pallas_sweep.py) instead of the multi-pass XLA scans."""
+    from .pallas_sweep import PAD_POS, TILE, pallas_sweep_scan
+
+    B = tids.shape[0]
+    seg = jnp.concatenate([
+        jnp.arange(n_seg, dtype=jnp.int32),
+        jnp.where(valid_block, tids, n_seg),
+        jnp.where(end_keep, tids, n_seg)])
+    pos = jnp.concatenate([
+        jnp.full((n_seg,), -1, jnp.int32),
+        jnp.where(valid_block, starts, PAD_POS),
+        jnp.where(end_keep, ends, PAD_POS)])
+    sign = jnp.concatenate([
+        jnp.zeros(n_seg, jnp.int32),
+        jnp.where(valid_block, 1, 0).astype(jnp.int32),
+        jnp.where(end_keep, -1, 0).astype(jnp.int32)])
+    paylen = jnp.concatenate([
+        seg_len.astype(jnp.int32), jnp.zeros(2 * B, jnp.int32)])
+
+    E = seg.shape[0]
+    Epad = (E + TILE - 1) // TILE * TILE
+    extra = Epad - E
+    seg = jnp.concatenate([seg, jnp.full((extra,), n_seg, jnp.int32)])
+    pos = jnp.concatenate([pos, jnp.full((extra,), PAD_POS, jnp.int32)])
+    sign = jnp.concatenate([sign, jnp.zeros(extra, jnp.int32)])
+    paylen = jnp.concatenate([paylen, jnp.zeros(extra, jnp.int32)])
+
+    # sort by (seg, pos) with sentinels (pos -1) first within their contig
+    key = (seg.astype(jnp.int64) << 33) + (pos.astype(jnp.int64) + 2)
+    _k, seg_s, pos_s, sign_s, paylen_s = jax.lax.sort(
+        (key, seg, pos, sign, paylen), num_keys=1)
+    next_seg = jnp.concatenate([seg_s[1:], jnp.full((1,), n_seg, jnp.int32)])
+    next_pos = jnp.concatenate([pos_s[1:], jnp.full((1,), PAD_POS, jnp.int32)])
+
+    cs_sum, cs_cov, cs_ful, depth, w_len, maxs, maxv = pallas_sweep_scan(
+        seg_s, pos_s, sign_s, paylen_s, next_seg, next_pos, ee,
+        interpret=jax.default_backend() == "cpu")
+
+    bounds = jnp.searchsorted(seg_s, jnp.arange(n_seg + 1, dtype=jnp.int32))
+    hi = jnp.clip(bounds[1:] - 1, 0)
+    lo = jnp.clip(bounds[:-1] - 1, 0)
+
+    def seg_diff(cs):
+        first = jnp.where(bounds[:-1] > 0, cs[lo], 0)
+        return cs[hi] - first
+
+    sum_w = seg_diff(cs_sum)
+    cov_w = seg_diff(cs_cov)
+    cov_f = seg_diff(cs_ful)
+    seg_ids = jnp.arange(n_seg, dtype=jnp.int32)
+    max_w = jnp.where(maxs[hi] == seg_ids, maxv[hi], 0).astype(jnp.int64)
+    gmax = jnp.max(max_w)
+    return (sum_w, cov_w, cov_f, max_w, gmax, depth, w_len, seg_s)
+
+
+def _use_pallas() -> bool:
+    import os
+    return os.environ.get("COVERM_TPU_PALLAS", "0") == "1"
 
 
 def _device_lengths(layout: ReferenceLayout, n_seg: int):
@@ -209,9 +280,11 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
         starts = starts.astype(np.int32)
         ends = ends.astype(np.int32)
 
-    r = _fused_sweep(jnp.asarray(seg_ids), jnp.asarray(starts),
-                     jnp.asarray(ends), jnp.asarray(valid),
-                     jnp.asarray(end_keep), seg_len_dev, n_seg, ee)
+    fn = _fused_sweep_pallas if _use_pallas() else partial(
+        _fused_sweep, with_max=need_hist)
+    r = fn(jnp.asarray(seg_ids), jnp.asarray(starts),
+           jnp.asarray(ends), jnp.asarray(valid),
+           jnp.asarray(end_keep), seg_len_dev, n_seg, ee)
 
     sum_w, cov_w, cov_f, max_w = [np.asarray(jax.device_get(x)) for x in r[:4]]
     out = DepthStats(zero(), zero(), zero(), zero(), None)
