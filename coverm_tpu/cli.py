@@ -98,7 +98,9 @@ def add_coverage_args(p, genome_mode: bool):
     p.add_argument("-b", "--bam-files", nargs="+", default=None)
     p.add_argument("--sharded", action="store_true")
     p.add_argument("--discard-unmapped", action="store_true")
-    p.add_argument("--bam-file-cache-directory", default=None)
+    p.add_argument("--bam-file-cache-directory",
+                   "--cache-unfiltered-bam-directory",
+                   dest="bam_file_cache_directory", default=None)
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("-q", "--quiet", action="store_true")
     p.add_argument("--gff", default=None)
@@ -369,6 +371,16 @@ def main(argv=None):
     if args.subcommand is None:
         parser.print_help()
         return 1
+    import logging
+    level = logging.INFO
+    if getattr(args, "quiet", False):
+        level = logging.ERROR
+    elif getattr(args, "verbose", False):
+        level = logging.DEBUG
+    logging.basicConfig(
+        level=level,
+        format="[%(asctime)s %(levelname)s] %(message)s",
+        datefmt="%Y-%m-%dT%H:%M:%S")
     from . import commands
     if args.subcommand == "contig":
         return commands.run_contig(args)

@@ -9,6 +9,7 @@ including zero-coverage back-fill and per-sample ReadsMapped accounting.
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass
 
@@ -21,6 +22,19 @@ from .io.bam import BamReader
 from .ops.depth import ReferenceLayout, start_transfer_warmup
 from .printers import ReadsMapped
 from .scan import SampleScan, scan_sample
+
+logger = logging.getLogger("coverm_tpu")
+
+
+def _log_reads_mapped(stoit_name, rm):
+    pct = (rm.num_mapped_reads * 100) / rm.num_reads if rm.num_reads else float("nan")
+    logger.info(
+        "In sample '%s', found %d reads mapped out of %d total (%.2f%%)",
+        stoit_name, rm.num_mapped_reads, rm.num_reads, pct)
+    if rm.num_reads == 0:
+        logger.warning(
+            "No primary alignments were observed for sample %s - perhaps "
+            "something went wrong in the mapping?", stoit_name)
 
 
 @dataclass
@@ -161,9 +175,11 @@ def contig_coverage(sources, taker, estimators, print_zero_coverage_contigs,
                 _emit_zero_entry(taker, estimators, int(header.target_lens[tid]))
                 taker.finish_entry()
 
-        reads_mapped_vector.append(ReadsMapped(
+        rm = ReadsMapped(
             num_mapped_reads=num_mapped_total,
-            num_reads=scan.num_detected_primary_alignments))
+            num_reads=scan.num_detected_primary_alignments)
+        _log_reads_mapped(source.name, rm)
+        reads_mapped_vector.append(rm)
         source.finish()
     return reads_mapped_vector
 
@@ -255,9 +271,11 @@ def genome_coverage_separator(sources, separator: str, taker, estimators,
                         _emit_zero_entry(taker, [est], 9)
                 taker.finish_entry()
 
-        reads_mapped_vector.append(ReadsMapped(
+        rm = ReadsMapped(
             num_mapped_reads=num_mapped_total,
-            num_reads=scan.num_detected_primary_alignments))
+            num_reads=scan.num_detected_primary_alignments)
+        _log_reads_mapped(source.name, rm)
+        reads_mapped_vector.append(rm)
         source.finish()
     return reads_mapped_vector
 
@@ -312,9 +330,11 @@ def genome_coverage_named(sources, genomes_and_contigs, taker, estimators,
                                          int(layout.lengths[tids].sum()))
                 taker.finish_entry()
 
-        reads_mapped_vector.append(ReadsMapped(
+        rm = ReadsMapped(
             num_mapped_reads=num_mapped_total,
-            num_reads=scan.num_detected_primary_alignments))
+            num_reads=scan.num_detected_primary_alignments)
+        _log_reads_mapped(source.name, rm)
+        reads_mapped_vector.append(rm)
         source.finish()
     return reads_mapped_vector
 

@@ -36,18 +36,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 jax.config.update("jax_enable_x64", True)
 
+# Mosaic lowering of the fused kernel nests deeply enough to hit CPython's
+# default recursion limit during tracing.
+import sys as _sys
+
+if _sys.getrecursionlimit() < 10000:
+    _sys.setrecursionlimit(10000)
+
 LANES = 128
 ROWS = 16  # tile = ROWS x LANES events
 TILE = ROWS * LANES
 PAD_POS = 1 << 30  # position marking padding events
 
 
+def _scan_axis_add(x, axis, size):
+    """Inclusive add-scan along one axis via log-shift rolls (Mosaic has no
+    cumsum lowering)."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    zero = jnp.zeros_like(x)
+    k = 1
+    while k < size:
+        x = x + jnp.where(idx >= k, pltpu.roll(x, k, axis), zero)
+        k *= 2
+    return x
+
+
 def _scan_rows_add(x):
     """Inclusive add-scan along the flattened (row-major) tile order."""
-    x = jnp.cumsum(x, axis=1)
-    row_tot = x[:, -1:]
-    row_excl = jnp.cumsum(row_tot, axis=0) - row_tot
-    return x + row_excl
+    x = _scan_axis_add(x, 1, LANES)
+    row_tot = jnp.broadcast_to(x[:, -1:], x.shape)
+    row_incl = _scan_axis_add(row_tot, 0, ROWS)
+    return x + row_incl - row_tot
 
 
 def _lexmax(a, b):
@@ -84,8 +103,12 @@ def _scan_rows_lexmax(s, v):
 
 
 def _sweep_kernel(seg_ref, pos_ref, sign_ref, paylen_ref, nseg_ref, npos_ref,
-                  cs_sum_ref, cs_cov_ref, cs_ful_ref, depth_ref, wlen_ref,
-                  maxs_ref, maxv_ref, carry_i32, carry_i64, *, ee):
+                  depth_ref, wlen_ref, flen_ref, maxs_ref, maxv_ref,
+                  carry_i32, *, ee):
+    """Pure-int32 kernel (Mosaic on this toolchain has no 64-bit types):
+    the three i64 weighted cumsums stay in XLA; everything else — the sign
+    scan, both forward fills, the gap/window arithmetic and the running
+    per-contig max — fuses into this single pass."""
     t = pl.program_id(0)
 
     seg = seg_ref[:]
@@ -104,9 +127,6 @@ def _sweep_kernel(seg_ref, pos_ref, sign_ref, paylen_ref, nseg_ref, npos_ref,
         carry_i32[4] = 0    # carry-fill value
         carry_i32[5] = -1   # max-fill seg
         carry_i32[6] = 0    # max-fill value
-        carry_i64[0] = 0    # cs_sum
-        carry_i64[1] = 0    # cs_cov
-        carry_i64[2] = 0    # cs_ful
 
     # 1. running depth
     gsign = _scan_rows_add(sign) + carry_i32[0]
@@ -140,28 +160,16 @@ def _sweep_kernel(seg_ref, pos_ref, sign_ref, paylen_ref, nseg_ref, npos_ref,
     w_len = jnp.where(is_pad, 0, w_len)
 
     covered = depth > 0
-    prod = jnp.where(covered,
-                     depth.astype(jnp.int64) * w_len.astype(jnp.int64), 0)
-    covw = jnp.where(covered, w_len, 0).astype(jnp.int64)
-    covf = jnp.where(covered, full_len, 0).astype(jnp.int64)
-
-    # 4. i64 scans + carries
-    cs_sum = _scan_rows_add(prod) + carry_i64[0]
-    cs_cov = _scan_rows_add(covw) + carry_i64[1]
-    cs_ful = _scan_rows_add(covf) + carry_i64[2]
-
     # max-depth fill pair
     ms, mv = fill(jnp.where(covered & (w_len > 0), depth, 0), 5, 6)
 
-    cs_sum_ref[:] = cs_sum
-    cs_cov_ref[:] = cs_cov
-    cs_ful_ref[:] = cs_ful
     depth_ref[:] = depth
-    wlen_ref[:] = w_len
+    wlen_ref[:] = jnp.where(covered, w_len, 0)
+    flen_ref[:] = jnp.where(covered, full_len, 0)
     maxs_ref[:] = ms
     maxv_ref[:] = mv
 
-    # 5. update carries from the last element
+    # 4. update carries from the last element
     carry_i32[0] = gsign[ROWS - 1, LANES - 1]
     carry_i32[1] = ls[ROWS - 1, LANES - 1]
     carry_i32[2] = length[ROWS - 1, LANES - 1]
@@ -169,9 +177,6 @@ def _sweep_kernel(seg_ref, pos_ref, sign_ref, paylen_ref, nseg_ref, npos_ref,
     carry_i32[4] = carry_v[ROWS - 1, LANES - 1]
     carry_i32[5] = ms[ROWS - 1, LANES - 1]
     carry_i32[6] = mv[ROWS - 1, LANES - 1]
-    carry_i64[0] = cs_sum[ROWS - 1, LANES - 1]
-    carry_i64[1] = cs_cov[ROWS - 1, LANES - 1]
-    carry_i64[2] = cs_ful[ROWS - 1, LANES - 1]
 
 
 @partial(jax.jit, static_argnames=("ee", "interpret"))
@@ -179,7 +184,8 @@ def pallas_sweep_scan(seg, pos, sign, paylen, next_seg, next_pos, ee,
                       interpret=False):
     """Run the fused sweep scan. All inputs int32[E], E % TILE == 0.
 
-    Returns (cs_sum, cs_cov, cs_ful, depth, w_len, max_seg, max_val)."""
+    Returns (depth, w_len, full_len, max_seg, max_val); w_len/full_len are
+    pre-masked to covered (depth>0) gaps."""
     E = seg.shape[0]
     n_tiles = E // TILE
     shape2d = (E // LANES, LANES)
@@ -188,24 +194,15 @@ def pallas_sweep_scan(seg, pos, sign, paylen, next_seg, next_pos, ee,
     in_specs = [pl.BlockSpec((ROWS, LANES), lambda t: (t, 0))
                 for _ in range(6)]
     out_specs = [pl.BlockSpec((ROWS, LANES), lambda t: (t, 0))
-                 for _ in range(7)]
-    out_shape = [
-        jax.ShapeDtypeStruct(shape2d, jnp.int64),  # cs_sum
-        jax.ShapeDtypeStruct(shape2d, jnp.int64),  # cs_cov
-        jax.ShapeDtypeStruct(shape2d, jnp.int64),  # cs_ful
-        jax.ShapeDtypeStruct(shape2d, jnp.int32),  # depth
-        jax.ShapeDtypeStruct(shape2d, jnp.int32),  # w_len
-        jax.ShapeDtypeStruct(shape2d, jnp.int32),  # max fill seg
-        jax.ShapeDtypeStruct(shape2d, jnp.int32),  # max fill val
-    ]
+                 for _ in range(5)]
+    out_shape = [jax.ShapeDtypeStruct(shape2d, jnp.int32) for _ in range(5)]
     outs = pl.pallas_call(
         partial(_sweep_kernel, ee=ee),
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((8,), jnp.int32),
-                        pltpu.SMEM((4,), jnp.int64)],
+        scratch_shapes=[pltpu.SMEM((8,), jnp.int32)],
         interpret=interpret,
     )(*args)
     return tuple(o.reshape(E) for o in outs)

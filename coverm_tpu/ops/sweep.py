@@ -198,9 +198,14 @@ def _fused_sweep_pallas(tids, starts, ends, valid_block, end_keep, seg_len,
     next_seg = jnp.concatenate([seg_s[1:], jnp.full((1,), n_seg, jnp.int32)])
     next_pos = jnp.concatenate([pos_s[1:], jnp.full((1,), PAD_POS, jnp.int32)])
 
-    cs_sum, cs_cov, cs_ful, depth, w_len, maxs, maxv = pallas_sweep_scan(
+    depth, w_len_c, full_len_c, maxs, maxv = pallas_sweep_scan(
         seg_s, pos_s, sign_s, paylen_s, next_seg, next_pos, ee,
         interpret=jax.default_backend() == "cpu")
+    # the three wide cumulative sums stay in XLA (Mosaic has no i64)
+    cs_sum = jnp.cumsum(depth.astype(jnp.int64) * w_len_c.astype(jnp.int64))
+    cs_cov = jnp.cumsum(w_len_c.astype(jnp.int64))
+    cs_ful = jnp.cumsum(full_len_c.astype(jnp.int64))
+    w_len = w_len_c
 
     bounds = jnp.searchsorted(seg_s, jnp.arange(n_seg + 1, dtype=jnp.int32))
     hi = jnp.clip(bounds[1:] - 1, 0)

@@ -74,18 +74,22 @@ def test_pallas_sweep_matches_numpy(seed, ee, n_blocks):
     got = pallas_sweep_scan(*inputs, ee, interpret=True)
     got = [np.asarray(jax.device_get(g)) for g in got]
 
-    np.testing.assert_array_equal(got[0], want[0])  # cs_sum
-    np.testing.assert_array_equal(got[1], want[1])  # cs_cov
-    np.testing.assert_array_equal(got[2], want[2])  # cs_ful
-    np.testing.assert_array_equal(got[3], want[3])  # depth
-    np.testing.assert_array_equal(got[4], want[4])  # w_len
+    depth_w, wlen_w = want[3], want[4]
+    covered = depth_w > 0
+    np.testing.assert_array_equal(got[0], depth_w)
+    np.testing.assert_array_equal(got[1], np.where(covered, wlen_w, 0))
+    # cumulative sums recomputed from kernel outputs must match the model
+    np.testing.assert_array_equal(
+        np.cumsum(got[0].astype(np.int64) * got[1]), want[0])
+    np.testing.assert_array_equal(np.cumsum(got[1].astype(np.int64)), want[1])
+    np.testing.assert_array_equal(np.cumsum(got[2].astype(np.int64)), want[2])
     # running per-segment max at the last event of each segment
     n_seg = 13
     bounds = np.searchsorted(inputs[0], np.arange(n_seg + 1))
     for s in range(n_seg):
         hi = bounds[s + 1] - 1
         seg_mask = (inputs[0][: hi + 1] == s)
-        contrib = np.where((want[3][: hi + 1] > 0) & (want[4][: hi + 1] > 0),
-                           want[3][: hi + 1], 0)
+        contrib = np.where((depth_w[: hi + 1] > 0) & (wlen_w[: hi + 1] > 0),
+                           depth_w[: hi + 1], 0)
         expected_max = contrib[seg_mask].max() if seg_mask.any() else 0
-        assert got[6][hi] == expected_max
+        assert got[4][hi] == expected_max
