@@ -47,6 +47,8 @@ LANES = 128
 ROWS = 16  # tile = ROWS x LANES events
 TILE = ROWS * LANES
 PAD_POS = 1 << 30  # position marking padding events
+_NEG1 = np.int32(-1)
+_ZERO = np.int32(0)
 
 
 def _scan_axis_add(x, axis, size):
@@ -56,7 +58,7 @@ def _scan_axis_add(x, axis, size):
     zero = jnp.zeros_like(x)
     k = 1
     while k < size:
-        x = x + jnp.where(idx >= k, pltpu.roll(x, k, axis), zero)
+        x = x + jnp.where(idx >= k, pltpu.roll(x, np.int32(k), axis), zero)
         k *= 2
     return x
 
@@ -83,8 +85,8 @@ def _scan_rows_lexmax(s, v):
     cur = (s, v)
     k = 1
     while k < LANES:
-        shifted = (jnp.where(lane >= k, pltpu.roll(cur[0], k, 1), -1),
-                   jnp.where(lane >= k, pltpu.roll(cur[1], k, 1), 0))
+        shifted = (jnp.where(lane >= k, pltpu.roll(cur[0], np.int32(k), 1), _NEG1),
+                   jnp.where(lane >= k, pltpu.roll(cur[1], np.int32(k), 1), _ZERO))
         cur = _lexmax(shifted, cur)
         k *= 2
     # carry row suffix maxima down to later rows
@@ -93,12 +95,12 @@ def _scan_rows_lexmax(s, v):
     last_v = jnp.broadcast_to(cur[1][:, -1:], s.shape)
     k = 1
     while k < ROWS:
-        shifted = (jnp.where(row >= k, pltpu.roll(last_s, k, 0), -1),
-                   jnp.where(row >= k, pltpu.roll(last_v, k, 0), 0))
+        shifted = (jnp.where(row >= k, pltpu.roll(last_s, np.int32(k), 0), _NEG1),
+                   jnp.where(row >= k, pltpu.roll(last_v, np.int32(k), 0), _ZERO))
         last_s, last_v = _lexmax(shifted, (last_s, last_v))
         k *= 2
-    prev = (jnp.where(row >= 1, pltpu.roll(last_s, 1, 0), -1),
-            jnp.where(row >= 1, pltpu.roll(last_v, 1, 0), 0))
+    prev = (jnp.where(row >= 1, pltpu.roll(last_s, np.int32(1), 0), _NEG1),
+            jnp.where(row >= 1, pltpu.roll(last_v, np.int32(1), 0), _ZERO))
     return _lexmax(prev, cur)
 
 
@@ -131,7 +133,8 @@ def _sweep_kernel(seg_ref, pos_ref, sign_ref, paylen_ref, nseg_ref, npos_ref,
     # 1. running depth
     gsign = _scan_rows_add(sign) + carry_i32[0]
 
-    is_sent = pos == -1
+    ee = np.int32(ee)
+    is_sent = pos == _NEG1
 
     def fill(value, carry_s_idx, carry_v_idx):
         """Forward-fill `value` from sentinel-style sparse entries, blending
@@ -143,29 +146,29 @@ def _sweep_kernel(seg_ref, pos_ref, sign_ref, paylen_ref, nseg_ref, npos_ref,
                 jnp.where(take_carry, cv, fv))
 
     # 2a. contig length fill; 2b. per-contig depth carry fill
-    ls, length = fill(jnp.where(is_sent, paylen, 0), 1, 2)
-    cs_, carry_v = fill(jnp.where(is_sent, gsign, 0), 3, 4)
+    ls, length = fill(jnp.where(is_sent, paylen, _ZERO), 1, 2)
+    cs_, carry_v = fill(jnp.where(is_sent, gsign, _ZERO), 3, 4)
     depth = gsign - carry_v
 
     # 3. gap/window arithmetic
     same = next_seg == seg
     gap_end = jnp.where(same, next_pos, length)
-    full_len = jnp.clip(jnp.minimum(gap_end, length) - jnp.maximum(pos, 0),
-                        0, None)
-    w_len = jnp.clip(jnp.minimum(gap_end, length - ee) - jnp.maximum(pos, ee),
-                     0, None)
-    w_len = jnp.where(length > 2 * ee, w_len, 0)
-    is_pad = pos >= PAD_POS
-    full_len = jnp.where(is_pad, 0, full_len)
-    w_len = jnp.where(is_pad, 0, w_len)
+    full_len = jnp.maximum(
+        jnp.minimum(gap_end, length) - jnp.maximum(pos, _ZERO), _ZERO)
+    w_len = jnp.maximum(
+        jnp.minimum(gap_end, length - ee) - jnp.maximum(pos, ee), _ZERO)
+    w_len = jnp.where(length > np.int32(2) * ee, w_len, _ZERO)
+    is_pad = pos >= np.int32(PAD_POS)
+    full_len = jnp.where(is_pad, _ZERO, full_len)
+    w_len = jnp.where(is_pad, _ZERO, w_len)
 
-    covered = depth > 0
+    covered = depth > _ZERO
     # max-depth fill pair
-    ms, mv = fill(jnp.where(covered & (w_len > 0), depth, 0), 5, 6)
+    ms, mv = fill(jnp.where(covered & (w_len > _ZERO), depth, _ZERO), 5, 6)
 
     depth_ref[:] = depth
-    wlen_ref[:] = jnp.where(covered, w_len, 0)
-    flen_ref[:] = jnp.where(covered, full_len, 0)
+    wlen_ref[:] = jnp.where(covered, w_len, _ZERO)
+    flen_ref[:] = jnp.where(covered, full_len, _ZERO)
     maxs_ref[:] = ms
     maxv_ref[:] = mv
 
