@@ -28,6 +28,9 @@ def make_workload(n_contigs=32, contig_len=1_000_000, coverage=20, read_len=150,
     lengths = np.full(n_contigs, contig_len, dtype=np.int64)
     tids = rng.integers(0, n_contigs, n_reads)
     starts = (rng.random(n_reads) * (contig_len - 1)).astype(np.int64)
+    # coordinate-sorted, as any real BAM stream delivers blocks
+    order = np.lexsort((starts, tids))
+    tids, starts = tids[order], starts[order]
     ends = np.minimum(starts + read_len, contig_len)
     return lengths, tids, starts, ends, n_reads
 

@@ -48,15 +48,29 @@ from .depth import DepthStats, ReferenceLayout, _bucket
 DENSE_REMAP_THRESHOLD = 1 << 16
 _MASK32 = (1 << 32) - 1
 
+# speculative histogram width fused into the main sweep call; depths
+# >= this trigger one re-dispatch with a wider histogram (rare: depth
+# 512+ coverage)
+SPEC_HIST_BINS = 512
 
-@partial(jax.jit, static_argnames=("n_seg", "ee", "with_max"))
-def _fused_sweep(tids, starts, ends, valid_block, end_keep, seg_len, n_seg,
-                 ee, with_max=True):
+
+def _bucket_geo(n: int, minimum: int = 1024) -> int:
+    """Geometric size buckets (ratio 1.25): bounds h2d padding waste at
+    25% (the power-of-2 bucket wastes up to 100%) while keeping the
+    number of distinct compiled shapes ~log_1.25(range) ~= 40."""
+    b = minimum
+    while b < n:
+        b = -(-b * 5 // 4) // 128 * 128  # ceil(b*1.25) rounded up to 128
+    return b
+
+
+def _sweep_core(tids, starts, ends, valid_block, end_keep, seg_len, n_seg,
+                ee, with_max=True):
     """Events + sort + sweep + per-contig reductions, scan-only.
 
     tids/starts/ends: int32[B] (padded; valid_block False on padding)
-    end_keep: bool[B] precomputed on host (end < contig length) — avoids a
-              B-sized device gather from the length table
+    end_keep: bool[B] (end < contig length; end events at the contig end
+              are dropped, contig.rs:178-183)
     seg_len: int64[n_seg] contig lengths (0 for unused segments)
     """
 
@@ -141,8 +155,11 @@ def _fused_sweep(tids, starts, ends, valid_block, end_keep, seg_len, n_seg,
     return (sum_w, cov_w, cov_f, max_w, gmax, depth, w_len, seg_s)
 
 
-@partial(jax.jit, static_argnames=("n_seg", "n_bins"))
-def _sweep_hist(depth, w_len, seg_of_event, n_seg, n_bins):
+_fused_sweep = partial(jax.jit, static_argnames=("n_seg", "ee", "with_max"))(
+    _sweep_core)
+
+
+def _hist_math(depth, w_len, seg_of_event, n_seg, n_bins):
     """Gap-weighted depth histogram via sort + cumsum + dense queries."""
     d = jnp.clip(depth, 0, n_bins - 1).astype(jnp.int64)
     contrib = jnp.where((depth > 0) & (seg_of_event < n_seg),
@@ -156,8 +173,60 @@ def _sweep_hist(depth, w_len, seg_of_event, n_seg, n_bins):
     b = jnp.searchsorted(key_s, q)
     ends = jnp.where(b > 0, cs[jnp.clip(b - 1, 0)], 0)
     totals = ends[1:] - ends[:-1]
-    # ends[i] = cumsum up to last element with key < i -> per-bin totals
     return totals.reshape(n_seg, n_bins)
+
+
+@partial(jax.jit, static_argnames=("n_seg", "ee", "need_hist", "n_bins",
+                                   "len_mode"))
+def _sweep_packed(starts, lens_or_ends, counts_ext, seg_len, scalar_len,
+                  n_seg, ee, need_hist, n_bins, len_mode):
+    """Transfer-minimal fused sweep: ONE device call, ONE packed result.
+
+    The host sends, per sample:
+      starts: int32[B]   block starts (grouped by contig — BAM streams
+                         are reference-sorted so this grouping is free)
+      lens_or_ends:      block lengths as uint16 (len_mode="u16"), block
+                         ends as int32 (len_mode="ends"), or a dummy when
+                         every block has the same length
+                         (len_mode="scalar": ends = starts + scalar_len)
+      counts_ext: int32[n_seg+1]  blocks per contig (+ padding count) —
+                         the contig-id column is reconstructed on device
+                         with a repeat, so it never crosses the link
+      seg_len: int64[n_seg], scalar_len: int32 scalar
+
+    Returns one int64 vector [sum_w | cov_w | cov_f | max_w | gmax
+    (| hist[n_seg*n_bins])] so a single device->host fetch retrieves
+    everything (each small fetch over the tunnelled link costs ~30ms).
+    The histogram is computed speculatively with n_bins; the host
+    re-dispatches wider iff gmax >= n_bins.
+    """
+    B = starts.shape[0]
+    tids = jnp.repeat(jnp.arange(n_seg + 1, dtype=jnp.int32), counts_ext,
+                      total_repeat_length=B)
+    len_tab = jnp.concatenate(
+        [seg_len.astype(jnp.int32), jnp.zeros(1, jnp.int32)])
+    len_of = jnp.repeat(len_tab, counts_ext, total_repeat_length=B)
+    if len_mode == "scalar":
+        ends = starts + scalar_len
+    elif len_mode == "u16":
+        ends = starts + lens_or_ends.astype(jnp.int32)
+    else:
+        ends = lens_or_ends
+    valid_block = tids < n_seg
+    end_keep = valid_block & (ends < len_of)
+
+    r = _sweep_core(tids, starts, ends, valid_block, end_keep, seg_len,
+                    n_seg, ee, with_max=True)
+    sum_w, cov_w, cov_f, max_w, gmax = r[:5]
+    parts = [sum_w, cov_w, cov_f, max_w,
+             gmax.astype(jnp.int64).reshape(1)]
+    if need_hist:
+        hist = _hist_math(r[5], r[6], r[7], n_seg, n_bins)
+        parts.append(hist.reshape(-1))
+    return jnp.concatenate(parts)
+
+
+_sweep_hist = partial(jax.jit, static_argnames=("n_seg", "n_bins"))(_hist_math)
 
 
 @partial(jax.jit, static_argnames=("n_seg", "ee"))
@@ -242,7 +311,14 @@ def _device_lengths(layout: ReferenceLayout, n_seg: int):
 
 def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
                               need_hist: bool = False) -> DepthStats:
-    """Event-sweep drop-in for compute_depth_stats."""
+    """Event-sweep drop-in for compute_depth_stats (transfer-minimal).
+
+    Host cost is O(B): a bincount for the contig-id run lengths (blocks
+    arrive grouped by contig because BAM streams are reference-sorted; a
+    stable argsort fallback covers synthetic callers) and the padding
+    copy.  Device transfer is 4-8 bytes per block; the result is one
+    packed device->host fetch.
+    """
     C = layout.n_contigs
     zero = lambda: np.zeros(C, dtype=np.int64)
     tids = np.asarray(tids)
@@ -253,6 +329,11 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
                           np.zeros((C, 1), np.int64) if need_hist else None)
 
     ee = layout.contig_end_exclusion
+    n_blocks = tids.size
+    if np.any(tids[1:] < tids[:-1]):
+        order = np.argsort(tids, kind="stable")
+        tids, starts, ends = tids[order], starts[order], ends[order]
+
     dense = C > DENSE_REMAP_THRESHOLD
     if dense:
         obs = np.unique(tids)
@@ -262,13 +343,86 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
         seg_len[: obs.size] = layout.lengths[obs]
         seg_len_dev = jnp.asarray(seg_len)
         n_out = obs.size
+        counts = np.bincount(seg_ids, minlength=n_seg)
     else:
         obs = None
         seg_ids = tids.astype(np.int32)
         n_seg = _bucket(C, minimum=8)
         seg_len_dev = _device_lengths(layout, n_seg)
         n_out = C
+        counts = np.bincount(seg_ids, minlength=n_seg)
 
+    if _use_pallas():
+        return _sweep_legacy(layout, seg_ids, starts, ends, obs, n_seg,
+                             seg_len_dev, n_out, need_hist)
+
+    B = _bucket_geo(n_blocks)
+    starts_p = np.zeros(B, dtype=np.int32)
+    starts_p[:n_blocks] = starts
+    counts_ext = np.append(counts, B - n_blocks).astype(np.int32)
+
+    # pick the cheapest block-length representation for the link
+    lens = (ends - starts).astype(np.int64)
+    scalar_len = np.int32(lens[0]) if n_blocks else np.int32(0)
+    if n_blocks and np.all(lens == lens[0]):
+        len_mode = "scalar"
+        payload = np.zeros(1, dtype=np.uint16)
+    elif lens.max(initial=0) < (1 << 16):
+        len_mode = "u16"
+        payload = np.zeros(B, dtype=np.uint16)
+        payload[:n_blocks] = lens
+    else:
+        len_mode = "ends"
+        payload = np.zeros(B, dtype=np.int32)
+        payload[:n_blocks] = ends
+
+    n_bins = SPEC_HIST_BINS
+    packed = np.asarray(jax.device_get(_sweep_packed(
+        jnp.asarray(starts_p), jnp.asarray(payload),
+        jnp.asarray(counts_ext), seg_len_dev, scalar_len,
+        n_seg, ee, need_hist, n_bins, len_mode)))
+    gmax = int(packed[4 * n_seg])
+    if need_hist and gmax >= n_bins:
+        # speculative width overflowed: one wider re-dispatch
+        n_bins = _bucket(gmax + 1, minimum=128)
+        packed = np.asarray(jax.device_get(_sweep_packed(
+            jnp.asarray(starts_p), jnp.asarray(payload),
+            jnp.asarray(counts_ext), seg_len_dev, scalar_len,
+            n_seg, ee, need_hist, n_bins, len_mode)))
+
+    out = DepthStats(zero(), zero(), zero(), zero(), None)
+    tgt = obs if dense else slice(0, C)
+    out.sum_depth_window[tgt] = packed[:n_out]
+    out.covered_window[tgt] = packed[n_seg: n_seg + n_out]
+    out.covered_full[tgt] = packed[2 * n_seg: 2 * n_seg + n_out]
+    out.max_depth_window[tgt] = np.maximum(
+        packed[3 * n_seg: 3 * n_seg + n_out], 0)
+
+    if need_hist:
+        h = packed[4 * n_seg + 1:].reshape(n_seg, n_bins)
+        hist = np.zeros((C, n_bins), dtype=np.int64)
+        hist[tgt] = h[:n_out]
+        _fix_hist_bin0(layout, out, hist, tids, obs, ee)
+        out.hist = hist
+    return out
+
+
+def _fix_hist_bin0(layout, out, hist, tids, obs, ee):
+    """bin 0 = window positions not covered (observed contigs only)."""
+    win_len = np.where(layout.lengths > 2 * ee, layout.lengths - 2 * ee, 0)
+    hist[:, 0] = 0
+    obs_all = np.unique(tids) if obs is None else obs
+    hist[obs_all, 0] = win_len[obs_all] - out.covered_window[obs_all]
+
+
+def _sweep_legacy(layout, seg_ids, starts, ends, obs, n_seg, seg_len_dev,
+                  n_out, need_hist):
+    """Full-transfer path retained for the Pallas post-sort kernel
+    (COVERM_TPU_PALLAS=1)."""
+    C = layout.n_contigs
+    ee = layout.contig_end_exclusion
+    zero = lambda: np.zeros(C, dtype=np.int64)
+    tids = seg_ids if obs is None else obs[seg_ids]
     end_keep_real = ends < layout.lengths[tids]
     B = _bucket(seg_ids.size)
     pad = B - seg_ids.size
@@ -285,15 +439,13 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
         starts = starts.astype(np.int32)
         ends = ends.astype(np.int32)
 
-    fn = _fused_sweep_pallas if _use_pallas() else partial(
-        _fused_sweep, with_max=need_hist)
-    r = fn(jnp.asarray(seg_ids), jnp.asarray(starts),
-           jnp.asarray(ends), jnp.asarray(valid),
-           jnp.asarray(end_keep), seg_len_dev, n_seg, ee)
+    r = _fused_sweep_pallas(jnp.asarray(seg_ids), jnp.asarray(starts),
+                            jnp.asarray(ends), jnp.asarray(valid),
+                            jnp.asarray(end_keep), seg_len_dev, n_seg, ee)
 
     sum_w, cov_w, cov_f, max_w = [np.asarray(jax.device_get(x)) for x in r[:4]]
     out = DepthStats(zero(), zero(), zero(), zero(), None)
-    tgt = obs if dense else slice(0, C)
+    tgt = obs if obs is not None else slice(0, C)
     out.sum_depth_window[tgt] = sum_w[:n_out]
     out.covered_window[tgt] = cov_w[:n_out]
     out.covered_full[tgt] = cov_f[:n_out]
@@ -306,10 +458,6 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
             _sweep_hist(r[5], r[6], r[7], n_seg, n_bins)))
         hist = np.zeros((C, n_bins), dtype=np.int64)
         hist[tgt] = h[:n_out]
-        # bin 0 = window positions not covered (observed contigs only)
-        win_len = np.where(layout.lengths > 2 * ee, layout.lengths - 2 * ee, 0)
-        hist[:, 0] = 0
-        obs_all = np.unique(tids) if obs is None else obs
-        hist[obs_all, 0] = win_len[obs_all] - out.covered_window[obs_all]
+        _fix_hist_bin0(layout, out, hist, tids, obs, ee)
         out.hist = hist
     return out
