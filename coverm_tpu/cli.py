@@ -105,6 +105,11 @@ def add_coverage_args(p, genome_mode: bool):
     p.add_argument("-q", "--quiet", action="store_true")
     p.add_argument("--gff", default=None)
     p.add_argument("--gff-feature-type", default=None)
+    # observability (SURVEY.md §5: profiling hooks are first-class here,
+    # unlike the reference which has only log levels)
+    p.add_argument("--profile-dir", default=None, metavar="DIR",
+                   help="Write a JAX/XLA profiler trace (viewable with "
+                        "xprof/tensorboard) for the coverage run to DIR")
 
 
 def add_dereplication_args(p, prefix=""):
@@ -382,10 +387,14 @@ def main(argv=None):
         format="[%(asctime)s %(levelname)s] %(message)s",
         datefmt="%Y-%m-%dT%H:%M:%S")
     from . import commands
-    if args.subcommand == "contig":
-        return commands.run_contig(args)
-    if args.subcommand == "genome":
-        return commands.run_genome(args)
+    if args.subcommand in ("contig", "genome"):
+        run = (commands.run_contig if args.subcommand == "contig"
+               else commands.run_genome)
+        if getattr(args, "profile_dir", None):
+            import jax
+            with jax.profiler.trace(args.profile_dir):
+                return run(args)
+        return run(args)
     if args.subcommand == "filter":
         return commands.run_filter(args)
     if args.subcommand == "make":

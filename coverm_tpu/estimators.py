@@ -74,14 +74,51 @@ class EntityStats:
         return self.hist[: nz[-1] + 1]
 
 
+@dataclass
+class BatchStats:
+    """Column-wise EntityStats over C entities with no unobserved contigs
+    (the contig-mode case: every entity IS one observed contig).
+
+    Enables vectorised estimator evaluation — the scalar ``calculate``
+    path costs ~100us/contig in Python, which dominates assembly-scale
+    runs (500k contigs); the batch path is a handful of numpy passes.
+    """
+
+    total_count: np.ndarray          # int64[C]
+    total_bases_window: np.ndarray   # int64[C]
+    covered_window: np.ndarray       # int64[C]
+    total_bases_full: np.ndarray     # int64[C]
+    covered_full: np.ndarray         # int64[C]
+    observed_length_full: np.ndarray  # int64[C]
+    reads: np.ndarray                # int64[C]
+    mismatches: np.ndarray           # int64[C]
+    sum_identity: np.ndarray         # f64[C]
+    hist: np.ndarray | None = None   # int64[C, D]
+    # moments: enough for variance without a histogram
+    sumsq_window: np.ndarray | None = None      # int64[C] Σ depth² in window
+    min_depth_window: np.ndarray | None = None  # int64[C] min depth in window
+
+
+def _f32(a):
+    return np.asarray(a).astype(np.float32)
+
+
 class Estimator:
     """Base estimator: configuration + pure functions over EntityStats."""
 
     headers: tuple = ()
     uses_window = False   # needs exclusion-window stats
-    uses_hist = False     # needs the depth histogram
+    uses_hist = False     # needs the depth histogram (scalar path)
+    # histogram requirement of calculate_batch (variance derives from
+    # moments instead, so batch contig runs skip the histogram entirely)
+    uses_hist_batch = False
 
     def calculate(self, s: EntityStats) -> np.float32:
+        raise NotImplementedError
+
+    def calculate_batch(self, b: BatchStats) -> np.ndarray:
+        """Vectorised calculate over BatchStats; float32[C].  Must agree
+        bit-for-bit with ``calculate`` on per-contig stats."""
         raise NotImplementedError
 
     def zero_entry_value(self, entry_length: int):
@@ -108,6 +145,17 @@ class MeanEstimator(Estimator):
         numer = s.total_count - s.mismatches if self.exclude_mismatches else s.total_count
         return f32(numer) / f32(final_total)
 
+    def calculate_batch(self, b: BatchStats) -> np.ndarray:
+        final_total = b.total_bases_window
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = _f32(b.covered_window) / _f32(final_total)
+            numer = (b.total_count - b.mismatches if self.exclude_mismatches
+                     else b.total_count)
+            out = _f32(numer) / _f32(final_total)
+        gate = (final_total == 0) | (frac < f32(self.min_fraction_covered_bases))
+        out[gate] = f32(0.0)
+        return out
+
 
 @dataclass
 class TrimmedMeanEstimator(Estimator):
@@ -118,6 +166,7 @@ class TrimmedMeanEstimator(Estimator):
     headers = ("Trimmed Mean",)
     uses_window = True
     uses_hist = True
+    uses_hist_batch = True
 
     def calculate(self, s: EntityStats) -> np.float32:
         unobs = unobserved_bases(s.unobserved_lengths, self.contig_end_exclusion)
@@ -163,6 +212,60 @@ class TrimmedMeanEstimator(Estimator):
                     started = True
         return f32(total) / f32(max_index - min_index)
 
+    def calculate_batch(self, b: BatchStats) -> np.ndarray:
+        """Closed form of the CDF walk above, in rank space: with
+        cum = inclusive CDF, lo/hi the trim indices, the walk takes
+        ranks [lo, cum_{i_start}] at the first bin reaching lo, whole
+        bins while cum <= hi, and [cum_{i_end-1}+1, hi+1] at the first
+        bin exceeding hi — except when one bin spans both bounds, which
+        contributes (hi-lo+1) items (the reference's separate branch,
+        one fewer than the boundary formulas would give)."""
+        C = b.total_bases_window.shape[0]
+        total_bases = b.total_bases_window
+        counts = b.hist
+        D = counts.shape[1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = _f32(b.covered_window) / _f32(total_bases)
+        gate = ((total_bases == 0)
+                | (frac < f32(self.min_fraction_covered_bases))
+                | (b.covered_window == 0))
+        lo = np.floor(f32(self.trim_min) * _f32(total_bases)).astype(np.int64)
+        hi = np.ceil(f32(self.trim_max) * _f32(total_bases)).astype(np.int64)
+
+        cum = np.cumsum(counts, axis=1)
+        x = np.arange(D, dtype=np.int64)
+        W = np.cumsum(counts * x, axis=1)  # cumsum of depth-weighted counts
+
+        reach_lo = cum >= lo[:, None]
+        i_start = np.argmax(reach_lo, axis=1)
+        started = reach_lo[:, -1]
+        over_hi = cum > hi[:, None]
+        has_end = over_hi[:, -1]
+        i_end = np.where(has_end, np.argmax(over_hi, axis=1), D - 1)
+
+        rows = np.arange(C)
+        cum_start = cum[rows, i_start]
+        cum_before_end = np.where(i_end > 0, cum[rows, np.maximum(i_end - 1, 0)], 0)
+        single = has_end & (i_start == i_end)
+
+        first_term = (cum_start - lo + 1) * i_start
+        # whole bins strictly between the boundary bins; when hi is never
+        # exceeded the walk runs through the final bin
+        middle_end = np.where(has_end, np.maximum(i_end - 1, 0), D - 1)
+        middle = W[rows, middle_end] - W[rows, i_start]
+        middle = np.where(middle_end > i_start, middle, 0)
+        last_term = np.where(
+            has_end & (hi >= cum_before_end),
+            (hi - cum_before_end + 1) * i_end, 0)
+        last_term = np.where(i_end > i_start, last_term, 0)
+        total = np.where(single, (hi - lo + 1) * i_start,
+                         first_term + middle + last_term)
+        total = np.where(started, total, 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = _f32(total) / _f32(hi - lo)
+        out[gate] = f32(0.0)
+        return out
+
 
 @dataclass
 class PileupCountsEstimator(Estimator):
@@ -181,6 +284,15 @@ class PileupCountsEstimator(Estimator):
             return f32(0.0)
         # "Hack": the number of zero-coverage bases + 1 (estimators.rs:671-674)
         return f32(total_bases - s.covered_window + 1)
+
+    def calculate_batch(self, b: BatchStats) -> np.ndarray:
+        total_bases = b.total_bases_window
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = _f32(b.covered_window) / _f32(total_bases)
+        out = _f32(total_bases - b.covered_window + 1)
+        out[(total_bases == 0)
+            | (frac < f32(self.min_fraction_covered_bases))] = f32(0.0)
+        return out
 
     def histogram_rows(self, coverage: np.float32, s: EntityStats):
         """Rows for print_coverage (estimators.rs:952-967): (depth, count)."""
@@ -208,6 +320,15 @@ class CoveredFractionEstimator(Estimator):
             return f32(0.0)
         return f32(s.covered_full) / f32(final_total)
 
+    def calculate_batch(self, b: BatchStats) -> np.ndarray:
+        final_total = b.total_bases_full
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = _f32(b.covered_full) / _f32(final_total)
+        out = frac.copy()
+        out[(final_total == 0)
+            | (frac < f32(self.min_fraction_covered_bases))] = f32(0.0)
+        return out
+
 
 @dataclass
 class CoveredBasesEstimator(Estimator):
@@ -221,6 +342,15 @@ class CoveredBasesEstimator(Estimator):
         ):
             return f32(0.0)
         return f32(s.covered_full)
+
+    def calculate_batch(self, b: BatchStats) -> np.ndarray:
+        final_total = b.total_bases_full
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = _f32(b.covered_full) / _f32(final_total)
+        out = _f32(b.covered_full)
+        out[(final_total == 0)
+            | (frac < f32(self.min_fraction_covered_bases))] = f32(0.0)
+        return out
 
 
 @dataclass
@@ -238,6 +368,15 @@ class RPKMEstimator(Estimator):
         # printer (estimators.rs:727-735)
         return f32(s.reads * 10**9) / f32(final_total)
 
+    def calculate_batch(self, b: BatchStats) -> np.ndarray:
+        final_total = b.total_bases_full
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = _f32(b.covered_full) / _f32(final_total)
+            out = _f32(b.reads * 10**9) / _f32(final_total)
+        out[(final_total == 0)
+            | (frac < f32(self.min_fraction_covered_bases))] = f32(0.0)
+        return out
+
 
 @dataclass
 class TPMEstimator(Estimator):
@@ -254,6 +393,16 @@ class TPMEstimator(Estimator):
             # ln(0) = -inf -> exp = 0 in the reference too
             return f32(0.0)
         return f32(np.exp(np.log(f64(s.reads)) - np.log(f64(final_total))))
+
+    def calculate_batch(self, b: BatchStats) -> np.ndarray:
+        final_total = b.total_bases_full
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = _f32(b.covered_full) / _f32(final_total)
+            out = np.exp(np.log(b.reads.astype(f64))
+                         - np.log(final_total.astype(f64))).astype(np.float32)
+        out[(final_total == 0) | (b.reads == 0)
+            | (frac < f32(self.min_fraction_covered_bases))] = f32(0.0)
+        return out
 
 
 @dataclass
@@ -292,6 +441,32 @@ class VarianceEstimator(Estimator):
             ex2 += (x - k) * (x - k) * nc
         return (f32(ex2) - f32(ex * ex) / f32(total_bases)) / f32(total_bases - 1)
 
+    def calculate_batch(self, b: BatchStats) -> np.ndarray:
+        """Shifted variance from moments — no histogram required.
+
+        With counts[0] = window positions not covered, the shift k (first
+        non-empty bin, estimators.rs:788-793) is 0 unless the window is
+        fully covered, in which case it is the window minimum depth; the
+        Σ(x-k)·c / Σ(x-k)²·c sums follow from {Σ1, Σd, Σd²}."""
+        total_bases = b.total_bases_window
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = _f32(b.covered_window) / _f32(total_bases)
+        gate = ((total_bases == 0)
+                | (frac < f32(self.min_fraction_covered_bases))
+                | (total_bases < 3))
+        k = np.where(b.covered_window < total_bases, 0, b.min_depth_window)
+        S1 = total_bases
+        Sx = b.total_count
+        Sx2 = b.sumsq_window
+        ex = Sx - k * S1
+        ex2 = Sx2 - 2 * k * Sx + k * k * S1
+        exsq = ex.astype(f64) * ex.astype(f64)  # exact below 2^53
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = ((_f32(ex2) - exsq.astype(np.float32) / _f32(total_bases))
+                   / _f32(total_bases - 1))
+        out[gate] = f32(0.0)
+        return out
+
 
 @dataclass
 class LengthEstimator(Estimator):
@@ -299,6 +474,9 @@ class LengthEstimator(Estimator):
 
     def calculate(self, s: EntityStats) -> np.float32:
         return f32(s.observed_length_full + sum(s.unobserved_lengths))
+
+    def calculate_batch(self, b: BatchStats) -> np.ndarray:
+        return _f32(b.observed_length_full)
 
     def zero_entry_value(self, entry_length: int):
         return f32(entry_length)
@@ -311,6 +489,9 @@ class ReadCountEstimator(Estimator):
     def calculate(self, s: EntityStats) -> np.float32:
         return f32(s.reads)
 
+    def calculate_batch(self, b: BatchStats) -> np.ndarray:
+        return _f32(b.reads)
+
 
 @dataclass
 class ReadsPerBaseEstimator(Estimator):
@@ -319,6 +500,10 @@ class ReadsPerBaseEstimator(Estimator):
     def calculate(self, s: EntityStats) -> np.float32:
         return f32(s.reads) / f32(
             s.observed_length_full + sum(s.unobserved_lengths))
+
+    def calculate_batch(self, b: BatchStats) -> np.ndarray:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return _f32(b.reads) / _f32(b.observed_length_full)
 
 
 @dataclass
@@ -329,6 +514,13 @@ class ANIrEstimator(Estimator):
         if s.reads == 0:
             return f32(0.0)
         return f32(f64(s.sum_identity) / f64(s.reads))
+
+    def calculate_batch(self, b: BatchStats) -> np.ndarray:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = (b.sum_identity.astype(f64)
+                   / b.reads.astype(f64)).astype(np.float32)
+        out[b.reads == 0] = f32(0.0)
+        return out
 
 
 @dataclass
@@ -342,3 +534,7 @@ class StrobealignAembEstimator(Estimator):
 
 def any_needs_hist(estimators) -> bool:
     return any(e.uses_hist for e in estimators)
+
+
+def any_needs_hist_batch(estimators) -> bool:
+    return any(e.uses_hist_batch for e in estimators)

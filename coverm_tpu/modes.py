@@ -11,12 +11,13 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 from dataclasses import dataclass
 
 import numpy as np
 
 from .estimators import (EntityStats, Estimator, PileupCountsEstimator,
-                         any_needs_hist)
+                         any_needs_hist, any_needs_hist_batch)
 from .flags import FlagFilter
 from .io.bam import BamReader
 from .ops.depth import ReferenceLayout, start_transfer_warmup
@@ -26,11 +27,16 @@ from .scan import SampleScan, scan_sample
 logger = logging.getLogger("coverm_tpu")
 
 
-def _log_reads_mapped(stoit_name, rm):
+def _log_reads_mapped(stoit_name, rm, elapsed=None):
     pct = (rm.num_mapped_reads * 100) / rm.num_reads if rm.num_reads else float("nan")
     logger.info(
         "In sample '%s', found %d reads mapped out of %d total (%.2f%%)",
         stoit_name, rm.num_mapped_reads, rm.num_reads, pct)
+    if elapsed:
+        # reads/s is the north-star throughput metric (SURVEY.md §5/§6)
+        logger.info("Sample '%s' scanned in %.2fs (%s aligned reads/s)",
+                    stoit_name, elapsed,
+                    f"{rm.num_reads / elapsed:,.0f}" if rm.num_reads else "-")
     if rm.num_reads == 0:
         logger.warning(
             "No primary alignments were observed for sample %s - perhaps "
@@ -86,6 +92,28 @@ def _entity_stats(scan: SampleScan, layout: ReferenceLayout, observed_tids,
     else:
         s.unobserved_lengths = [int(l) for l in layout.lengths[unobserved_tids]]
     return s
+
+
+def _batch_stats(scan: SampleScan, layout: ReferenceLayout):
+    """Column-wise per-contig stats for the vectorised contig mode."""
+    from .estimators import BatchStats
+    lens = layout.lengths
+    ee = layout.contig_end_exclusion
+    d = scan.depth
+    return BatchStats(
+        total_count=d.sum_depth_window,
+        total_bases_window=np.where(lens > 2 * ee, lens - 2 * ee, 0),
+        covered_window=d.covered_window,
+        total_bases_full=lens,
+        covered_full=d.covered_full,
+        observed_length_full=lens,
+        reads=scan.reads_primary,
+        mismatches=scan.mismatches,
+        sum_identity=scan.identity_sum_primary,
+        hist=d.hist,
+        sumsq_window=d.sumsq_window,
+        min_depth_window=d.min_depth_window,
+    )
 
 
 def _prefetched(sources):
@@ -145,10 +173,15 @@ def contig_coverage(sources, taker, estimators, print_zero_coverage_contigs,
                     layout_cache=None):
     """`coverm contig` engine. Returns per-sample ReadsMapped."""
     reads_mapped_vector = []
-    need_hist = any_needs_hist(estimators)
+    has_pileup = any(isinstance(e, PileupCountsEstimator) for e in estimators)
+    # the vectorised path derives variance from moments, so the (large at
+    # assembly scale) histogram is only computed when truly needed
+    need_hist = (any_needs_hist(estimators) if has_pileup
+                 else any_needs_hist_batch(estimators))
     ee = _exclusion_of(estimators)
     start_transfer_warmup()
     for source, (header, batch) in _prefetched(sources):
+        t_sample = time.perf_counter()
         taker.start_stoit(source.name)
         layout = _layout_for(header, ee, layout_cache)
         scan = scan_sample(header, batch, layout, flag_filter, need_hist)
@@ -157,28 +190,55 @@ def contig_coverage(sources, taker, estimators, print_zero_coverage_contigs,
             scan.num_detected_primary_alignments = npo
 
         num_mapped_total = 0
-        for tid in range(header.n_ref):
-            if scan.observed[tid]:
-                st = _entity_stats(scan, layout, np.array([tid]), None,
-                                   scan.reads_primary,
-                                   scan.identity_sum_primary, contig_mode=True)
-                coverages = [e.calculate(st) for e in estimators]
-                nonzero = any(c > 0.0 for c in coverages)
-                if nonzero:
-                    num_mapped_total += int(scan.reads_primary[tid])
-                if print_zero_coverage_contigs or nonzero:
+        if not has_pileup:
+            # vectorised path: one numpy pass per estimator instead of a
+            # Python loop per contig (the loop costs ~100us/contig, which
+            # dominates assembly-scale runs)
+            bs = _batch_stats(scan, layout)
+            cov_matrix = np.stack(
+                [e.calculate_batch(bs) for e in estimators])  # [E, C]
+            nonzero_v = (cov_matrix > 0.0).any(axis=0)
+            num_mapped_total = int(
+                scan.reads_primary[scan.observed & nonzero_v].sum())
+            emit = (np.arange(header.n_ref)
+                    if print_zero_coverage_contigs else
+                    np.flatnonzero(scan.observed & nonzero_v))
+            for tid in emit:
+                tid = int(tid)
+                if scan.observed[tid] and (print_zero_coverage_contigs
+                                           or nonzero_v[tid]):
                     taker.start_entry(tid, header.target_names[tid])
-                    _emit_entry(taker, estimators, coverages, [st] * len(estimators))
+                    for cov in cov_matrix[:, tid]:
+                        taker.add_single_coverage(cov)
                     taker.finish_entry()
-            elif print_zero_coverage_contigs:
-                taker.start_entry(tid, header.target_names[tid])
-                _emit_zero_entry(taker, estimators, int(header.target_lens[tid]))
-                taker.finish_entry()
+                elif not scan.observed[tid]:
+                    taker.start_entry(tid, header.target_names[tid])
+                    _emit_zero_entry(taker, estimators,
+                                     int(header.target_lens[tid]))
+                    taker.finish_entry()
+        else:
+            for tid in range(header.n_ref):
+                if scan.observed[tid]:
+                    st = _entity_stats(scan, layout, np.array([tid]), None,
+                                       scan.reads_primary,
+                                       scan.identity_sum_primary, contig_mode=True)
+                    coverages = [e.calculate(st) for e in estimators]
+                    nonzero = any(c > 0.0 for c in coverages)
+                    if nonzero:
+                        num_mapped_total += int(scan.reads_primary[tid])
+                    if print_zero_coverage_contigs or nonzero:
+                        taker.start_entry(tid, header.target_names[tid])
+                        _emit_entry(taker, estimators, coverages, [st] * len(estimators))
+                        taker.finish_entry()
+                elif print_zero_coverage_contigs:
+                    taker.start_entry(tid, header.target_names[tid])
+                    _emit_zero_entry(taker, estimators, int(header.target_lens[tid]))
+                    taker.finish_entry()
 
         rm = ReadsMapped(
             num_mapped_reads=num_mapped_total,
             num_reads=scan.num_detected_primary_alignments)
-        _log_reads_mapped(source.name, rm)
+        _log_reads_mapped(source.name, rm, time.perf_counter() - t_sample)
         reads_mapped_vector.append(rm)
         source.finish()
     return reads_mapped_vector
@@ -194,6 +254,7 @@ def genome_coverage_separator(sources, separator: str, taker, estimators,
     ee = _exclusion_of(estimators)
     start_transfer_warmup()
     for source, (header, batch) in _prefetched(sources):
+        t_sample = time.perf_counter()
         taker.start_stoit(source.name)
         layout = _layout_for(header, ee, layout_cache)
         scan = scan_sample(header, batch, layout, flag_filter, need_hist)
@@ -274,7 +335,7 @@ def genome_coverage_separator(sources, separator: str, taker, estimators,
         rm = ReadsMapped(
             num_mapped_reads=num_mapped_total,
             num_reads=scan.num_detected_primary_alignments)
-        _log_reads_mapped(source.name, rm)
+        _log_reads_mapped(source.name, rm, time.perf_counter() - t_sample)
         reads_mapped_vector.append(rm)
         source.finish()
     return reads_mapped_vector
@@ -289,6 +350,7 @@ def genome_coverage_named(sources, genomes_and_contigs, taker, estimators,
     ee = _exclusion_of(estimators)
     start_transfer_warmup()
     for source, (header, batch) in _prefetched(sources):
+        t_sample = time.perf_counter()
         taker.start_stoit(source.name)
         layout = _layout_for(header, ee, layout_cache)
         scan = scan_sample(header, batch, layout, flag_filter, need_hist)
@@ -333,7 +395,7 @@ def genome_coverage_named(sources, genomes_and_contigs, taker, estimators,
         rm = ReadsMapped(
             num_mapped_reads=num_mapped_total,
             num_reads=scan.num_detected_primary_alignments)
-        _log_reads_mapped(source.name, rm)
+        _log_reads_mapped(source.name, rm, time.perf_counter() - t_sample)
         reads_mapped_vector.append(rm)
         source.finish()
     return reads_mapped_vector

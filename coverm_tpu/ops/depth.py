@@ -201,6 +201,11 @@ class DepthStats:
     covered_full: np.ndarray       # int64[C]  positions depth>0 anywhere
     max_depth_window: np.ndarray   # int64[C]  max depth inside window
     hist: np.ndarray | None = None  # int64[C, D] window depth histogram
+    # second moment + window minimum: enough for the shifted-variance
+    # estimator without materialising a histogram (hist cost is
+    # O(contigs x max_depth) — prohibitive at assembly scale)
+    sumsq_window: np.ndarray | None = None  # int64[C] Σ depth² inside window
+    min_depth_window: np.ndarray | None = None  # int64[C] min depth in window
 
 
 def stats_core_math(scatter_idx, scatter_val, pos_seg, window_mask, valid_mask,
@@ -225,7 +230,14 @@ def stats_core_math(scatter_idx, scatter_val, pos_seg, window_mask, valid_mask,
         ((depth > 0) & valid_mask).astype(jnp.int32), pos_seg, n_seg)
     max_w = jax.ops.segment_max(dw, pos_seg, n_seg,
                                 indices_are_sorted=True)
-    return sum_w, cov_w.astype(jnp.int64), cov_f.astype(jnp.int64), max_w, depth
+    sq_w = jax.ops.segment_sum(
+        dw.astype(jnp.int64) * dw.astype(jnp.int64), pos_seg, n_seg)
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
+    min_w = jax.ops.segment_min(jnp.where(window_mask, depth, big), pos_seg,
+                                n_seg, indices_are_sorted=True)
+    min_w = jnp.where(min_w == big, 0, min_w)  # contig without window
+    return (sum_w, cov_w.astype(jnp.int64), cov_f.astype(jnp.int64), max_w,
+            depth, sq_w, min_w)
 
 
 _stats_core = partial(jax.jit, static_argnames=("n_seg",))(stats_core_math)
@@ -254,13 +266,16 @@ def compute_depth_stats(layout: ReferenceLayout, tids, starts, ends,
     cov_w = np.zeros(C, dtype=np.int64)
     cov_f = np.zeros(C, dtype=np.int64)
     max_w = np.zeros(C, dtype=np.int64)
+    sq_w = np.zeros(C, dtype=np.int64)
+    min_w = np.zeros(C, dtype=np.int64)
 
     tids = np.asarray(tids, dtype=np.int64)
     starts = np.asarray(starts, dtype=np.int64)
     ends = np.asarray(ends, dtype=np.int64)
     if tids.size == 0 or C == 0:
         return DepthStats(sum_w, cov_w, cov_f, max_w,
-                          np.zeros((C, 1), np.int64) if need_hist else None)
+                          np.zeros((C, 1), np.int64) if need_hist else None,
+                          sq_w, min_w)
 
     P, K = layout.P, layout.K
     chunk_ids = layout.chunk_of_contig[tids]
@@ -302,9 +317,12 @@ def compute_depth_stats(layout: ReferenceLayout, tids, starts, ends,
         nl = ch.n_local
         # only the tiny per-segment stats cross device->host
         rs, rcw, rcf, rmw = [np.asarray(jax.device_get(x)) for x in r[:4]]
+        rsq, rmin = [np.asarray(jax.device_get(x)) for x in r[5:7]]
         sum_w[ch.cids] += rs[:nl]
         cov_w[ch.cids] += rcw[:nl]
         cov_f[ch.cids] += rcf[:nl]
+        sq_w[ch.cids] += rsq[:nl]
+        min_w[ch.cids] = rmin[:nl]  # a contig lives in exactly one chunk
         mw = np.maximum(rmw[:nl], 0)
         max_w[ch.cids] = np.maximum(max_w[ch.cids], mw)
         if mw.size:
@@ -321,7 +339,7 @@ def compute_depth_stats(layout: ReferenceLayout, tids, starts, ends,
                 r[4], pos_seg, window, K, n_bins)))
             hist[ch.cids] += h[: ch.n_local]
 
-    return DepthStats(sum_w, cov_w, cov_f, max_w, hist)
+    return DepthStats(sum_w, cov_w, cov_f, max_w, hist, sq_w, min_w)
 
 
 def compute_depth_stats_numpy(layout: ReferenceLayout, tids, starts, ends,
@@ -332,6 +350,8 @@ def compute_depth_stats_numpy(layout: ReferenceLayout, tids, starts, ends,
     cov_w = np.zeros(C, dtype=np.int64)
     cov_f = np.zeros(C, dtype=np.int64)
     max_w = np.zeros(C, dtype=np.int64)
+    sq_w = np.zeros(C, dtype=np.int64)
+    min_w = np.zeros(C, dtype=np.int64)
     ee = layout.contig_end_exclusion
     tids = np.asarray(tids)
     starts = np.asarray(starts)
@@ -352,6 +372,8 @@ def compute_depth_stats_numpy(layout: ReferenceLayout, tids, starts, ends,
             sum_w[c] = w.sum()
             cov_w[c] = (w > 0).sum()
             max_w[c] = w.max() if w.size else 0
+            sq_w[c] = (w * w).sum()
+            min_w[c] = w.min() if w.size else 0
             max_bins = max(max_bins, int(max_w[c]) + 1)
         cov_f[c] = (depth > 0).sum()
     hist = None
@@ -362,4 +384,4 @@ def compute_depth_stats_numpy(layout: ReferenceLayout, tids, starts, ends,
             if ln > 2 * ee:
                 w = depth[ee : ln - ee]
                 hist[c] += np.bincount(w, minlength=max_bins)[:max_bins]
-    return DepthStats(sum_w, cov_w, cov_f, max_w, hist)
+    return DepthStats(sum_w, cov_w, cov_f, max_w, hist, sq_w, min_w)

@@ -124,9 +124,16 @@ def _sweep_core(tids, starts, ends, valid_block, end_keep, seg_len, n_seg,
     w_len = jnp.where(is_pad, 0, w_len)
 
     covered = depth > 0
-    cs_sum = jnp.cumsum(jnp.where(covered, depth.astype(jnp.int64) * w_len, 0))
+    d64 = depth.astype(jnp.int64)
+    cs_sum = jnp.cumsum(jnp.where(covered, d64 * w_len, 0))
     cs_cov = jnp.cumsum(jnp.where(covered, w_len, 0))
     cs_ful = jnp.cumsum(jnp.where(covered, full_len, 0))
+    cs_sq = jnp.cumsum(jnp.where(covered, d64 * d64 * w_len, 0))
+    # window minimum depth via a (seg, BIG-depth) cummax fill; gaps with
+    # no window overlap carry payload 0 and lose to any real gap
+    bigm = jnp.int64(1) << 31
+    cm_min = jax.lax.cummax(
+        (seg_s << 33) + jnp.where(w_len > 0, bigm - d64, 0))
     if with_max:
         cm_max = jax.lax.cummax(
             (seg_s << 33) + jnp.where(covered & (w_len > 0),
@@ -145,6 +152,9 @@ def _sweep_core(tids, starts, ends, valid_block, end_keep, seg_len, n_seg,
     sum_w = seg_diff(cs_sum)
     cov_w = seg_diff(cs_cov)
     cov_f = seg_diff(cs_ful)
+    sq_w = seg_diff(cs_sq)
+    min_fill = cm_min[hi] - (jnp.arange(n_seg, dtype=jnp.int64) << 33)
+    min_w = jnp.where(min_fill > 0, bigm - min_fill, 0)
     if with_max:
         max_w = jnp.clip(
             cm_max[hi] - (jnp.arange(n_seg, dtype=jnp.int64) << 33), 0)
@@ -152,7 +162,8 @@ def _sweep_core(tids, starts, ends, valid_block, end_keep, seg_len, n_seg,
     else:
         max_w = jnp.zeros(n_seg, jnp.int64)
         gmax = jnp.zeros((), jnp.int32)
-    return (sum_w, cov_w, cov_f, max_w, gmax, depth, w_len, seg_s)
+    return (sum_w, cov_w, cov_f, max_w, gmax, depth, w_len, seg_s,
+            sq_w, min_w)
 
 
 _fused_sweep = partial(jax.jit, static_argnames=("n_seg", "ee", "with_max"))(
@@ -218,7 +229,7 @@ def _sweep_packed(starts, lens_or_ends, counts_ext, seg_len, scalar_len,
     r = _sweep_core(tids, starts, ends, valid_block, end_keep, seg_len,
                     n_seg, ee, with_max=True)
     sum_w, cov_w, cov_f, max_w, gmax = r[:5]
-    parts = [sum_w, cov_w, cov_f, max_w,
+    parts = [sum_w, cov_w, cov_f, max_w, r[8], r[9],
              gmax.astype(jnp.int64).reshape(1)]
     if need_hist:
         hist = _hist_math(r[5], r[6], r[7], n_seg, n_bins)
@@ -227,6 +238,22 @@ def _sweep_packed(starts, lens_or_ends, counts_ext, seg_len, scalar_len,
 
 
 _sweep_hist = partial(jax.jit, static_argnames=("n_seg", "n_bins"))(_hist_math)
+
+
+@partial(jax.jit, static_argnames=("n_seg",))
+def _legacy_moments(depth, w_len, seg_s, n_seg):
+    """Σ depth²·w and min depth over *covered* window gaps, for the
+    Pallas legacy path (its w_len output is pre-masked to covered gaps;
+    the caller zeroes the min where the window is not fully covered)."""
+    d64 = depth.astype(jnp.int64)
+    w64 = w_len.astype(jnp.int64)
+    seg = seg_s.astype(jnp.int32)
+    sq = jax.ops.segment_sum(jnp.where(depth > 0, d64 * d64 * w64, 0),
+                             seg, n_seg + 1)
+    big = jnp.int64(1) << 31
+    mn = jax.ops.segment_min(jnp.where(w_len > 0, d64, big), seg, n_seg + 1)
+    mn = jnp.where(mn >= big, 0, mn)
+    return sq[:n_seg], mn[:n_seg]
 
 
 @partial(jax.jit, static_argnames=("n_seg", "ee"))
@@ -381,7 +408,7 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
         jnp.asarray(starts_p), jnp.asarray(payload),
         jnp.asarray(counts_ext), seg_len_dev, scalar_len,
         n_seg, ee, need_hist, n_bins, len_mode)))
-    gmax = int(packed[4 * n_seg])
+    gmax = int(packed[6 * n_seg])
     if need_hist and gmax >= n_bins:
         # speculative width overflowed: one wider re-dispatch
         n_bins = _bucket(gmax + 1, minimum=128)
@@ -390,16 +417,18 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
             jnp.asarray(counts_ext), seg_len_dev, scalar_len,
             n_seg, ee, need_hist, n_bins, len_mode)))
 
-    out = DepthStats(zero(), zero(), zero(), zero(), None)
+    out = DepthStats(zero(), zero(), zero(), zero(), None, zero(), zero())
     tgt = obs if dense else slice(0, C)
     out.sum_depth_window[tgt] = packed[:n_out]
     out.covered_window[tgt] = packed[n_seg: n_seg + n_out]
     out.covered_full[tgt] = packed[2 * n_seg: 2 * n_seg + n_out]
     out.max_depth_window[tgt] = np.maximum(
         packed[3 * n_seg: 3 * n_seg + n_out], 0)
+    out.sumsq_window[tgt] = packed[4 * n_seg: 4 * n_seg + n_out]
+    out.min_depth_window[tgt] = packed[5 * n_seg: 5 * n_seg + n_out]
 
     if need_hist:
-        h = packed[4 * n_seg + 1:].reshape(n_seg, n_bins)
+        h = packed[6 * n_seg + 1:].reshape(n_seg, n_bins)
         hist = np.zeros((C, n_bins), dtype=np.int64)
         hist[tgt] = h[:n_out]
         _fix_hist_bin0(layout, out, hist, tids, obs, ee)
@@ -444,12 +473,21 @@ def _sweep_legacy(layout, seg_ids, starts, ends, obs, n_seg, seg_len_dev,
                             jnp.asarray(end_keep), seg_len_dev, n_seg, ee)
 
     sum_w, cov_w, cov_f, max_w = [np.asarray(jax.device_get(x)) for x in r[:4]]
-    out = DepthStats(zero(), zero(), zero(), zero(), None)
+    sq_w, min_w = [np.asarray(jax.device_get(x))
+                   for x in _legacy_moments(r[5], r[6], r[7], n_seg)]
+    out = DepthStats(zero(), zero(), zero(), zero(), None, zero(), zero())
+    out.sumsq_window[obs if obs is not None else slice(0, C)] = sq_w[:n_out]
+    out.min_depth_window[obs if obs is not None else slice(0, C)] = \
+        min_w[:n_out]
     tgt = obs if obs is not None else slice(0, C)
     out.sum_depth_window[tgt] = sum_w[:n_out]
     out.covered_window[tgt] = cov_w[:n_out]
     out.covered_full[tgt] = cov_f[:n_out]
     out.max_depth_window[tgt] = np.maximum(max_w[:n_out], 0)
+    # legacy min is over covered gaps only; a not-fully-covered window
+    # has true min 0
+    win_len = np.where(layout.lengths > 2 * ee, layout.lengths - 2 * ee, 0)
+    out.min_depth_window[out.covered_window < win_len] = 0
 
     if need_hist:
         gmax = int(jax.device_get(r[4]))

@@ -27,6 +27,10 @@ def test_engine_matches_oracle(engine, seed, ee):
     np.testing.assert_array_equal(got.covered_window, want.covered_window)
     np.testing.assert_array_equal(got.covered_full, want.covered_full)
     np.testing.assert_array_equal(got.max_depth_window, want.max_depth_window)
+    np.testing.assert_array_equal(got.sumsq_window, want.sumsq_window)
+    obs_min = np.unique(tids)
+    np.testing.assert_array_equal(got.min_depth_window[obs_min],
+                                  want.min_depth_window[obs_min])
     # histograms: compare padded to the same width, plus the implicit
     # zero-depth bin
     W = max(got.hist.shape[1], want.hist.shape[1])
