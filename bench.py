@@ -4,9 +4,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload: a synthetic metagenomic sample — 32 contigs x 1 Mbp, 20x
 coverage with 150 bp single-block reads (~4.3M aligned reads) — pushed
-through the full device depth engine (scatter-add deltas, chunked cumsum,
-segment reductions, depth histogram) plus the host estimator suite
-(mean, trimmed_mean, variance, covered_fraction) per contig.
+through the transfer-minimal event-sweep depth engine (device sort +
+scans; variance from moments, trimmed mean from device rank queries; no
+histogram) plus the vectorised estimator suite (mean, trimmed_mean,
+variance, covered_fraction).
 
 vs_baseline is the speedup over a single-core CoverM-style streaming
 scan (numpy ups-and-downs + prefix sum + bincount), the reference's
@@ -36,28 +37,34 @@ def make_workload(n_contigs=32, contig_len=1_000_000, coverage=20, read_len=150,
 
 
 def run_estimators(layout, stats, n_contigs):
+    """Vectorised estimator evaluation (the engine's contig-mode path):
+    variance from moments, trimmed mean from device rank sums — no
+    histogram involved."""
     from coverm_tpu.estimators import (MeanEstimator, TrimmedMeanEstimator,
                                        VarianceEstimator,
-                                       CoveredFractionEstimator, EntityStats)
+                                       CoveredFractionEstimator, BatchStats)
+    import numpy as np
     ests = [MeanEstimator(0.0, 75, False),
             TrimmedMeanEstimator(0.05, 0.95, 0.0, 75),
             VarianceEstimator(0.0, 75),
             CoveredFractionEstimator(0.0)]
-    out = []
     ee = 75
-    for c in range(n_contigs):
-        s = EntityStats()
-        ln = int(layout.lengths[c])
-        s.total_count = int(stats.sum_depth_window[c])
-        s.total_bases_window = ln - 2 * ee
-        s.covered_window = int(stats.covered_window[c])
-        s.total_bases_full = ln
-        s.covered_full = int(stats.covered_full[c])
-        s.observed_length_full = ln
-        s.hist = stats.hist[c]
-        s.unobserved_lengths = [0]
-        out.append([e.calculate(s) for e in ests])
-    return out
+    lens = layout.lengths
+    zeros = np.zeros(n_contigs, dtype=np.int64)
+    b = BatchStats(
+        total_count=stats.sum_depth_window,
+        total_bases_window=np.where(lens > 2 * ee, lens - 2 * ee, 0),
+        covered_window=stats.covered_window,
+        total_bases_full=lens,
+        covered_full=stats.covered_full,
+        observed_length_full=lens,
+        reads=zeros, mismatches=zeros, sum_identity=zeros.astype(float),
+        hist=stats.hist,
+        sumsq_window=stats.sumsq_window,
+        min_depth_window=stats.min_depth_window,
+        trimmed_sum=stats.trimmed_sum,
+    )
+    return np.stack([e.calculate_batch(b) for e in ests])
 
 
 def baseline_numpy_scan(lengths, tids, starts, ends, ee=75):
@@ -90,16 +97,19 @@ def main():
     lengths, tids, starts, ends, n_reads = make_workload()
     layout = ReferenceLayout.build(lengths, 75)
 
+    TRIM = (0.05, 0.95)
     # warmup: compile + first d2h transfer
     t0 = time.time()
-    stats = compute_depth_stats(layout, tids, starts, ends, need_hist=True)
+    stats = compute_depth_stats(layout, tids, starts, ends, need_hist=False,
+                                trim=TRIM)
     print(f"warmup (compile+transfer-setup): {time.time()-t0:.1f}s",
           file=sys.stderr)
 
     times = []
     for _ in range(5):
         t0 = time.time()
-        stats = compute_depth_stats(layout, tids, starts, ends, need_hist=True)
+        stats = compute_depth_stats(layout, tids, starts, ends,
+                                    need_hist=False, trim=TRIM)
         run_estimators(layout, stats, len(lengths))
         times.append(time.time() - t0)
     best = min(times)

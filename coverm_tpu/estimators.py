@@ -97,6 +97,9 @@ class BatchStats:
     # moments: enough for variance without a histogram
     sumsq_window: np.ndarray | None = None      # int64[C] Σ depth² in window
     min_depth_window: np.ndarray | None = None  # int64[C] min depth in window
+    # device-computed trimmed-mean numerators (rank-range sums); when
+    # present, TrimmedMean needs no histogram either
+    trimmed_sum: np.ndarray | None = None       # int64[C]
 
 
 def _f32(a):
@@ -212,59 +215,70 @@ class TrimmedMeanEstimator(Estimator):
                     started = True
         return f32(total) / f32(max_index - min_index)
 
+    def trim_bounds(self, total_bases: np.ndarray):
+        """(lo, hi) trim indices per entity — f32 arithmetic as the
+        reference (estimators.rs:595-597)."""
+        lo = np.floor(f32(self.trim_min) * _f32(total_bases)).astype(np.int64)
+        hi = np.ceil(f32(self.trim_max) * _f32(total_bases)).astype(np.int64)
+        return lo, hi
+
     def calculate_batch(self, b: BatchStats) -> np.ndarray:
-        """Closed form of the CDF walk above, in rank space: with
-        cum = inclusive CDF, lo/hi the trim indices, the walk takes
-        ranks [lo, cum_{i_start}] at the first bin reaching lo, whole
-        bins while cum <= hi, and [cum_{i_end-1}+1, hi+1] at the first
-        bin exceeding hi — except when one bin spans both bounds, which
-        contributes (hi-lo+1) items (the reference's separate branch,
-        one fewer than the boundary formulas would give)."""
-        C = b.total_bases_window.shape[0]
         total_bases = b.total_bases_window
-        counts = b.hist
-        D = counts.shape[1]
         with np.errstate(divide="ignore", invalid="ignore"):
             frac = _f32(b.covered_window) / _f32(total_bases)
         gate = ((total_bases == 0)
                 | (frac < f32(self.min_fraction_covered_bases))
                 | (b.covered_window == 0))
-        lo = np.floor(f32(self.trim_min) * _f32(total_bases)).astype(np.int64)
-        hi = np.ceil(f32(self.trim_max) * _f32(total_bases)).astype(np.int64)
-
-        cum = np.cumsum(counts, axis=1)
-        x = np.arange(D, dtype=np.int64)
-        W = np.cumsum(counts * x, axis=1)  # cumsum of depth-weighted counts
-
-        reach_lo = cum >= lo[:, None]
-        i_start = np.argmax(reach_lo, axis=1)
-        started = reach_lo[:, -1]
-        over_hi = cum > hi[:, None]
-        has_end = over_hi[:, -1]
-        i_end = np.where(has_end, np.argmax(over_hi, axis=1), D - 1)
-
-        rows = np.arange(C)
-        cum_start = cum[rows, i_start]
-        cum_before_end = np.where(i_end > 0, cum[rows, np.maximum(i_end - 1, 0)], 0)
-        single = has_end & (i_start == i_end)
-
-        first_term = (cum_start - lo + 1) * i_start
-        # whole bins strictly between the boundary bins; when hi is never
-        # exceeded the walk runs through the final bin
-        middle_end = np.where(has_end, np.maximum(i_end - 1, 0), D - 1)
-        middle = W[rows, middle_end] - W[rows, i_start]
-        middle = np.where(middle_end > i_start, middle, 0)
-        last_term = np.where(
-            has_end & (hi >= cum_before_end),
-            (hi - cum_before_end + 1) * i_end, 0)
-        last_term = np.where(i_end > i_start, last_term, 0)
-        total = np.where(single, (hi - lo + 1) * i_start,
-                         first_term + middle + last_term)
-        total = np.where(started, total, 0)
+        lo, hi = self.trim_bounds(total_bases)
+        if b.trimmed_sum is not None:
+            total = b.trimmed_sum  # device-computed rank-range sum
+        else:
+            total = trimmed_total_from_hist(b.hist, lo, hi)
         with np.errstate(divide="ignore", invalid="ignore"):
             out = _f32(total) / _f32(hi - lo)
         out[gate] = f32(0.0)
         return out
+
+
+def trimmed_total_from_hist(counts: np.ndarray, lo: np.ndarray,
+                            hi: np.ndarray) -> np.ndarray:
+    """Closed form of the trimmed-mean CDF walk, in rank space: with
+    cum = inclusive CDF, lo/hi the trim indices, the walk takes ranks
+    [lo, cum_{i_start}] at the first bin reaching lo, whole bins while
+    cum <= hi, and [cum_{i_end-1}+1, hi+1] at the first bin exceeding hi
+    — except when one bin spans both bounds, which contributes (hi-lo+1)
+    items (the reference's separate branch, one fewer than the boundary
+    formulas would give).  Returns the integer numerators int64[C]."""
+    C, D = counts.shape
+    cum = np.cumsum(counts, axis=1)
+    x = np.arange(D, dtype=np.int64)
+    W = np.cumsum(counts * x, axis=1)  # cumsum of depth-weighted counts
+
+    reach_lo = cum >= lo[:, None]
+    i_start = np.argmax(reach_lo, axis=1)
+    started = reach_lo[:, -1]
+    over_hi = cum > hi[:, None]
+    has_end = over_hi[:, -1]
+    i_end = np.where(has_end, np.argmax(over_hi, axis=1), D - 1)
+
+    rows = np.arange(C)
+    cum_start = cum[rows, i_start]
+    cum_before_end = np.where(i_end > 0, cum[rows, np.maximum(i_end - 1, 0)], 0)
+    single = has_end & (i_start == i_end)
+
+    first_term = (cum_start - lo + 1) * i_start
+    # whole bins strictly between the boundary bins; when hi is never
+    # exceeded the walk runs through the final bin
+    middle_end = np.where(has_end, np.maximum(i_end - 1, 0), D - 1)
+    middle = W[rows, middle_end] - W[rows, i_start]
+    middle = np.where(middle_end > i_start, middle, 0)
+    last_term = np.where(
+        has_end & (hi >= cum_before_end),
+        (hi - cum_before_end + 1) * i_end, 0)
+    last_term = np.where(i_end > i_start, last_term, 0)
+    total = np.where(single, (hi - lo + 1) * i_start,
+                     first_term + middle + last_term)
+    return np.where(started, total, 0)
 
 
 @dataclass

@@ -17,7 +17,8 @@ from dataclasses import dataclass
 import numpy as np
 
 from .estimators import (EntityStats, Estimator, PileupCountsEstimator,
-                         any_needs_hist, any_needs_hist_batch)
+                         TrimmedMeanEstimator, any_needs_hist,
+                         any_needs_hist_batch)
 from .flags import FlagFilter
 from .io.bam import BamReader
 from .ops.depth import ReferenceLayout, start_transfer_warmup
@@ -113,6 +114,7 @@ def _batch_stats(scan: SampleScan, layout: ReferenceLayout):
         hist=d.hist,
         sumsq_window=d.sumsq_window,
         min_depth_window=d.min_depth_window,
+        trimmed_sum=d.trimmed_sum,
     )
 
 
@@ -174,17 +176,24 @@ def contig_coverage(sources, taker, estimators, print_zero_coverage_contigs,
     """`coverm contig` engine. Returns per-sample ReadsMapped."""
     reads_mapped_vector = []
     has_pileup = any(isinstance(e, PileupCountsEstimator) for e in estimators)
-    # the vectorised path derives variance from moments, so the (large at
-    # assembly scale) histogram is only computed when truly needed
+    # the vectorised path derives variance from moments and trimmed_mean
+    # from device rank queries, so the (large at assembly scale)
+    # histogram is only computed for coverage_histogram output or when
+    # several different trim windows are requested at once
+    trims = {(float(e.trim_min), float(e.trim_max)) for e in estimators
+             if isinstance(e, TrimmedMeanEstimator)}
+    use_trim = (not has_pileup) and len(trims) == 1
+    trim = next(iter(trims)) if use_trim else None
     need_hist = (any_needs_hist(estimators) if has_pileup
-                 else any_needs_hist_batch(estimators))
+                 else (any_needs_hist_batch(estimators) and not use_trim))
     ee = _exclusion_of(estimators)
     start_transfer_warmup()
     for source, (header, batch) in _prefetched(sources):
         t_sample = time.perf_counter()
         taker.start_stoit(source.name)
         layout = _layout_for(header, ee, layout_cache)
-        scan = scan_sample(header, batch, layout, flag_filter, need_hist)
+        scan = scan_sample(header, batch, layout, flag_filter, need_hist,
+                           trim=trim)
         npo = getattr(source, "num_primary_override", None)
         if npo is not None:
             scan.num_detected_primary_alignments = npo

@@ -201,6 +201,7 @@ class DepthStats:
     covered_full: np.ndarray       # int64[C]  positions depth>0 anywhere
     max_depth_window: np.ndarray   # int64[C]  max depth inside window
     hist: np.ndarray | None = None  # int64[C, D] window depth histogram
+    trimmed_sum: np.ndarray | None = None  # int64[C] trimmed-mean numerators
     # second moment + window minimum: enough for the shifted-variance
     # estimator without materialising a histogram (hist cost is
     # O(contigs x max_depth) — prohibitive at assembly scale)
@@ -254,7 +255,7 @@ def _hist_core(depth, pos_seg, window_mask, n_seg, n_bins):
 
 
 def compute_depth_stats(layout: ReferenceLayout, tids, starts, ends,
-                        need_hist: bool = False) -> DepthStats:
+                        need_hist: bool = False, trim=None) -> DepthStats:
     """Compute per-contig depth statistics for one sample's blocks.
 
     tids/starts/ends: one row per alignment block (M/X/= run), already
@@ -275,6 +276,7 @@ def compute_depth_stats(layout: ReferenceLayout, tids, starts, ends,
     if tids.size == 0 or C == 0:
         return DepthStats(sum_w, cov_w, cov_f, max_w,
                           np.zeros((C, 1), np.int64) if need_hist else None,
+                          np.zeros(C, np.int64) if trim is not None else None,
                           sq_w, min_w)
 
     P, K = layout.P, layout.K
@@ -329,7 +331,7 @@ def compute_depth_stats(layout: ReferenceLayout, tids, starts, ends,
             global_max = max(global_max, int(mw.max()))
 
     hist = None
-    if need_hist:
+    if need_hist or trim is not None:
         n_bins = _bucket(global_max + 1, minimum=128)
         hist = np.zeros((C, n_bins), dtype=np.int64)
         for ci, r in pending:
@@ -339,11 +341,18 @@ def compute_depth_stats(layout: ReferenceLayout, tids, starts, ends,
                 r[4], pos_seg, window, K, n_bins)))
             hist[ch.cids] += h[: ch.n_local]
 
-    return DepthStats(sum_w, cov_w, cov_f, max_w, hist, sq_w, min_w)
+    trimmed = None
+    if trim is not None:
+        from .sweep import trimmed_sum_via_hist
+        trimmed = trimmed_sum_via_hist(layout, hist, trim)
+        if not need_hist:
+            hist = None
+    return DepthStats(sum_w, cov_w, cov_f, max_w, hist, trimmed, sq_w, min_w)
 
 
 def compute_depth_stats_numpy(layout: ReferenceLayout, tids, starts, ends,
-                              need_hist: bool = False) -> DepthStats:
+                              need_hist: bool = False,
+                              trim=None) -> DepthStats:
     """Pure-numpy oracle of compute_depth_stats (for tests)."""
     C = layout.n_contigs
     sum_w = np.zeros(C, dtype=np.int64)
@@ -384,4 +393,16 @@ def compute_depth_stats_numpy(layout: ReferenceLayout, tids, starts, ends,
             if ln > 2 * ee:
                 w = depth[ee : ln - ee]
                 hist[c] += np.bincount(w, minlength=max_bins)[:max_bins]
-    return DepthStats(sum_w, cov_w, cov_f, max_w, hist, sq_w, min_w)
+    trimmed = None
+    if trim is not None:
+        hh = hist
+        if hh is None:
+            hh = np.zeros((C, max_bins), dtype=np.int64)
+            for c, depth in per_contig_depth.items():
+                ln = int(layout.lengths[c])
+                if ln > 2 * ee:
+                    w = depth[ee : ln - ee]
+                    hh[c] += np.bincount(w, minlength=max_bins)[:max_bins]
+        from .sweep import trimmed_sum_via_hist
+        trimmed = trimmed_sum_via_hist(layout, hh, trim)
+    return DepthStats(sum_w, cov_w, cov_f, max_w, hist, trimmed, sq_w, min_w)

@@ -188,9 +188,9 @@ def _hist_math(depth, w_len, seg_of_event, n_seg, n_bins):
 
 
 @partial(jax.jit, static_argnames=("n_seg", "ee", "need_hist", "n_bins",
-                                   "len_mode"))
+                                   "len_mode", "trim"))
 def _sweep_packed(starts, lens_or_ends, counts_ext, seg_len, scalar_len,
-                  n_seg, ee, need_hist, n_bins, len_mode):
+                  n_seg, ee, need_hist, n_bins, len_mode, trim=None):
     """Transfer-minimal fused sweep: ONE device call, ONE packed result.
 
     The host sends, per sample:
@@ -231,6 +231,10 @@ def _sweep_packed(starts, lens_or_ends, counts_ext, seg_len, scalar_len,
     sum_w, cov_w, cov_f, max_w, gmax = r[:5]
     parts = [sum_w, cov_w, cov_f, max_w, r[8], r[9],
              gmax.astype(jnp.int64).reshape(1)]
+    if trim is not None:
+        seg_W = jnp.where(seg_len > 2 * ee, seg_len - 2 * ee, 0)
+        parts.append(_trimmed_math(r[5], r[6], r[7], seg_W,
+                                   trim[0], trim[1], n_seg))
     if need_hist:
         hist = _hist_math(r[5], r[6], r[7], n_seg, n_bins)
         parts.append(hist.reshape(-1))
@@ -238,6 +242,65 @@ def _sweep_packed(starts, lens_or_ends, counts_ext, seg_len, scalar_len,
 
 
 _sweep_hist = partial(jax.jit, static_argnames=("n_seg", "n_bins"))(_hist_math)
+
+
+def _trimmed_math(depth, w_len, seg_s, seg_W, trim_min, trim_max, n_seg):
+    """Per-seg trimmed-mean numerators from sorted gaps — scan-only.
+
+    Rank-space closed form of the reference's histogram CDF walk
+    (estimators.rs:598-643): the walk sums the depths at window ranks
+    [max(lo,1), min(hi+1, W)], except when a single depth bin contains
+    both rank lo and rank hi+1, which contributes (hi-lo+1)·depth.
+    Gaps are re-sorted by (seg, depth); rank queries are searchsorted
+    probes into the weight CDF — no histogram is ever materialised, so
+    cost is independent of the maximum depth.
+    """
+    E = depth.shape[0]
+    segi = seg_s.astype(jnp.int64)
+    valid = segi < n_seg
+    d64 = depth.astype(jnp.int64)
+    w64 = jnp.where(valid, w_len.astype(jnp.int64), 0)
+    key = jnp.where(valid, (segi << 32) + d64, jnp.iinfo(jnp.int64).max)
+    key_s, w_s, d_s = jax.lax.sort((key, w64, d64), num_keys=1)
+    cumw = jnp.cumsum(w_s)
+    cumwd = jnp.cumsum(w_s * d_s)
+
+    # trim indices, f32 arithmetic as the reference (estimators.rs:595-597)
+    Wf = seg_W.astype(jnp.float32)
+    lo = jnp.floor(jnp.float32(trim_min) * Wf).astype(jnp.int64)
+    hi = jnp.ceil(jnp.float32(trim_max) * Wf).astype(jnp.int64)
+
+    seg_ids = jnp.arange(n_seg, dtype=jnp.int64)
+    bounds = jnp.searchsorted(key_s, seg_ids << 32)  # first gap of each seg
+    base_w = jnp.where(bounds > 0, cumw[jnp.clip(bounds - 1, 0)], 0)
+    base_wd = jnp.where(bounds > 0, cumwd[jnp.clip(bounds - 1, 0)], 0)
+
+    def rank_gap(r):
+        """Sorted-gap index holding within-seg rank r (1 <= r <= W)."""
+        tgt = base_w + jnp.clip(r, 1, seg_W)
+        return jnp.clip(jnp.searchsorted(cumw, tgt, side="left"), 0, E - 1)
+
+    def S(r):
+        """Σ_{k<=r} depth_at_rank(k) within each seg (0 when r <= 0)."""
+        rr = jnp.clip(r, 0, seg_W)
+        tgt = base_w + rr
+        j = rank_gap(rr)
+        prev_w = jnp.where(j > 0, cumw[jnp.clip(j - 1, 0)], 0)
+        prev_wd = jnp.where(j > 0, cumwd[jnp.clip(j - 1, 0)], 0)
+        s = (prev_wd - base_wd) + (tgt - prev_w) * d_s[j]
+        return jnp.where(rr > 0, s, 0)
+
+    a = jnp.maximum(lo, 1)
+    b = jnp.minimum(hi + 1, seg_W)
+    normal = S(b) - S(a - 1)
+    normal = jnp.where(b >= a, normal, 0)
+    # single-bin override: ranks lo and hi+1 fall in the same depth bin
+    can_single = (lo >= 1) & (hi + 1 <= seg_W)
+    d_lo = d_s[rank_gap(lo)]
+    d_hi1 = d_s[rank_gap(hi + 1)]
+    single = can_single & (d_lo == d_hi1)
+    total = jnp.where(single, (hi - lo + 1) * d_lo, normal)
+    return jnp.where(seg_W > 0, total, 0)
 
 
 @partial(jax.jit, static_argnames=("n_seg",))
@@ -337,7 +400,8 @@ def _device_lengths(layout: ReferenceLayout, n_seg: int):
 
 
 def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
-                              need_hist: bool = False) -> DepthStats:
+                              need_hist: bool = False,
+                              trim=None) -> DepthStats:
     """Event-sweep drop-in for compute_depth_stats (transfer-minimal).
 
     Host cost is O(B): a bincount for the contig-id run lengths (blocks
@@ -353,7 +417,9 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
     ends = np.asarray(ends)
     if tids.size == 0 or C == 0:
         return DepthStats(zero(), zero(), zero(), zero(),
-                          np.zeros((C, 1), np.int64) if need_hist else None)
+                          np.zeros((C, 1), np.int64) if need_hist else None,
+                          zero() if trim is not None else None,
+                          zero(), zero())
 
     ee = layout.contig_end_exclusion
     n_blocks = tids.size
@@ -381,7 +447,7 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
 
     if _use_pallas():
         return _sweep_legacy(layout, seg_ids, starts, ends, obs, n_seg,
-                             seg_len_dev, n_out, need_hist)
+                             seg_len_dev, n_out, need_hist, trim)
 
     B = _bucket_geo(n_blocks)
     starts_p = np.zeros(B, dtype=np.int32)
@@ -390,8 +456,15 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
 
     # pick the cheapest block-length representation for the link
     lens = (ends - starts).astype(np.int64)
-    scalar_len = np.int32(lens[0]) if n_blocks else np.int32(0)
-    if n_blocks and np.all(lens == lens[0]):
+    L = int(lens.max(initial=0))
+    scalar_len = np.int32(L)
+    # scalar also covers uniform-length reads clamped at contig ends:
+    # a computed end >= contig length drops its -1 event exactly like
+    # the true clamped end does (contig.rs:178-183)
+    if n_blocks and (
+        np.all(lens == L)
+        or np.array_equal(
+            np.minimum(starts + L, layout.lengths[tids]), ends)):
         len_mode = "scalar"
         payload = np.zeros(1, dtype=np.uint16)
     elif lens.max(initial=0) < (1 << 16):
@@ -404,10 +477,11 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
         payload[:n_blocks] = ends
 
     n_bins = SPEC_HIST_BINS
+    trim_key = (float(trim[0]), float(trim[1])) if trim is not None else None
     packed = np.asarray(jax.device_get(_sweep_packed(
         jnp.asarray(starts_p), jnp.asarray(payload),
         jnp.asarray(counts_ext), seg_len_dev, scalar_len,
-        n_seg, ee, need_hist, n_bins, len_mode)))
+        n_seg, ee, need_hist, n_bins, len_mode, trim_key)))
     gmax = int(packed[6 * n_seg])
     if need_hist and gmax >= n_bins:
         # speculative width overflowed: one wider re-dispatch
@@ -415,9 +489,10 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
         packed = np.asarray(jax.device_get(_sweep_packed(
             jnp.asarray(starts_p), jnp.asarray(payload),
             jnp.asarray(counts_ext), seg_len_dev, scalar_len,
-            n_seg, ee, need_hist, n_bins, len_mode)))
+            n_seg, ee, need_hist, n_bins, len_mode, trim_key)))
 
-    out = DepthStats(zero(), zero(), zero(), zero(), None, zero(), zero())
+    out = DepthStats(zero(), zero(), zero(), zero(), None,
+                     sumsq_window=zero(), min_depth_window=zero())
     tgt = obs if dense else slice(0, C)
     out.sum_depth_window[tgt] = packed[:n_out]
     out.covered_window[tgt] = packed[n_seg: n_seg + n_out]
@@ -426,9 +501,14 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
         packed[3 * n_seg: 3 * n_seg + n_out], 0)
     out.sumsq_window[tgt] = packed[4 * n_seg: 4 * n_seg + n_out]
     out.min_depth_window[tgt] = packed[5 * n_seg: 5 * n_seg + n_out]
+    base = 6 * n_seg + 1
+    if trim is not None:
+        out.trimmed_sum = zero()
+        out.trimmed_sum[tgt] = packed[base: base + n_out]
+        base += n_seg
 
     if need_hist:
-        h = packed[6 * n_seg + 1:].reshape(n_seg, n_bins)
+        h = packed[base:].reshape(n_seg, n_bins)
         hist = np.zeros((C, n_bins), dtype=np.int64)
         hist[tgt] = h[:n_out]
         _fix_hist_bin0(layout, out, hist, tids, obs, ee)
@@ -445,7 +525,7 @@ def _fix_hist_bin0(layout, out, hist, tids, obs, ee):
 
 
 def _sweep_legacy(layout, seg_ids, starts, ends, obs, n_seg, seg_len_dev,
-                  n_out, need_hist):
+                  n_out, need_hist, trim=None):
     """Full-transfer path retained for the Pallas post-sort kernel
     (COVERM_TPU_PALLAS=1)."""
     C = layout.n_contigs
@@ -475,7 +555,8 @@ def _sweep_legacy(layout, seg_ids, starts, ends, obs, n_seg, seg_len_dev,
     sum_w, cov_w, cov_f, max_w = [np.asarray(jax.device_get(x)) for x in r[:4]]
     sq_w, min_w = [np.asarray(jax.device_get(x))
                    for x in _legacy_moments(r[5], r[6], r[7], n_seg)]
-    out = DepthStats(zero(), zero(), zero(), zero(), None, zero(), zero())
+    out = DepthStats(zero(), zero(), zero(), zero(), None,
+                     sumsq_window=zero(), min_depth_window=zero())
     out.sumsq_window[obs if obs is not None else slice(0, C)] = sq_w[:n_out]
     out.min_depth_window[obs if obs is not None else slice(0, C)] = \
         min_w[:n_out]
@@ -489,7 +570,7 @@ def _sweep_legacy(layout, seg_ids, starts, ends, obs, n_seg, seg_len_dev,
     win_len = np.where(layout.lengths > 2 * ee, layout.lengths - 2 * ee, 0)
     out.min_depth_window[out.covered_window < win_len] = 0
 
-    if need_hist:
+    if need_hist or trim is not None:
         gmax = int(jax.device_get(r[4]))
         n_bins = _bucket(max(gmax, 0) + 1, minimum=128)
         h = np.asarray(jax.device_get(
@@ -497,5 +578,19 @@ def _sweep_legacy(layout, seg_ids, starts, ends, obs, n_seg, seg_len_dev,
         hist = np.zeros((C, n_bins), dtype=np.int64)
         hist[tgt] = h[:n_out]
         _fix_hist_bin0(layout, out, hist, tids, obs, ee)
-        out.hist = hist
+        if trim is not None:
+            out.trimmed_sum = trimmed_sum_via_hist(layout, hist, trim)
+        if need_hist:
+            out.hist = hist
     return out
+
+
+def trimmed_sum_via_hist(layout, hist, trim):
+    """Host fallback: trimmed-mean numerators from a dense histogram
+    (used by engines without the device rank-query path)."""
+    from ..estimators import f32, trimmed_total_from_hist
+    ee = layout.contig_end_exclusion
+    W = np.where(layout.lengths > 2 * ee, layout.lengths - 2 * ee, 0)
+    lo = np.floor(np.float32(trim[0]) * W.astype(np.float32)).astype(np.int64)
+    hi = np.ceil(np.float32(trim[1]) * W.astype(np.float32)).astype(np.int64)
+    return trimmed_total_from_hist(hist, lo, hi)

@@ -55,7 +55,7 @@ class SampleScan:
 
 
 def scan_sample(header: BamHeader, batch: RecordBatch, layout: ReferenceLayout,
-                flag_filter: FlagFilter, need_hist: bool,
+                flag_filter: FlagFilter, need_hist: bool, trim=None,
                 depth_fn=compute_depth_stats_sweep) -> SampleScan:
     C = header.n_ref
     passes = flag_filter.passes(batch)
@@ -77,7 +77,7 @@ def scan_sample(header: BamHeader, batch: RecordBatch, layout: ReferenceLayout,
     buse = use[batch.block_read]
     btids = batch.tid[batch.block_read[buse]]
     depth = depth_fn(layout, btids, batch.block_start[buse],
-                     batch.block_end[buse], need_hist=need_hist)
+                     batch.block_end[buse], need_hist=need_hist, trim=trim)
 
     observed = np.zeros(C, dtype=bool)
     observed[np.unique(tids)] = True

@@ -50,3 +50,43 @@ def test_empty_sample():
                     np.array([], int), need_hist=True)
         assert st.sum_depth_window.sum() == 0
         assert st.covered_full.sum() == 0
+
+
+@pytest.mark.parametrize("engine", [compute_depth_stats,
+                                    compute_depth_stats_sweep])
+@pytest.mark.parametrize("seed,ee,trim", [
+    (0, 0, (0.05, 0.95)), (1, 75, (0.05, 0.95)), (2, 10, (0.0, 1.0)),
+    (3, 10, (0.25, 0.75)), (4, 0, (0.0, 0.05)), (5, 3, (0.5, 0.5)),
+])
+def test_trimmed_sum_matches_scalar_walk(engine, seed, ee, trim):
+    """The device rank-query trimmed numerators must equal the scalar
+    histogram CDF walk (estimators.rs:598-643) on every contig."""
+    from coverm_tpu.estimators import EntityStats, TrimmedMeanEstimator, f32
+
+    rng = np.random.default_rng(seed)
+    C = 10
+    lengths = rng.integers(30, 2000, C)
+    layout = ReferenceLayout.build(lengths, ee)
+    n = 600
+    tids = np.sort(rng.integers(0, C, n))
+    starts = (rng.random(n) * (lengths[tids] - 1)).astype(np.int64)
+    ends = np.minimum(starts + rng.integers(1, 200, n), lengths[tids])
+
+    got = engine(layout, tids, starts, ends, need_hist=True, trim=trim)
+    est = TrimmedMeanEstimator(trim[0], trim[1], 0.0, ee)
+    for c in range(C):
+        ln = int(lengths[c])
+        W = ln - 2 * ee if ln > 2 * ee else 0
+        s = EntityStats()
+        s.total_bases_window = W
+        s.covered_window = int(got.covered_window[c])
+        s.hist = got.hist[c]
+        s.unobserved_lengths = [0]
+        want = est.calculate(s)
+        lo = int(np.floor(f32(trim[0]) * f32(W)))
+        hi = int(np.ceil(f32(trim[1]) * f32(W)))
+        if W == 0 or s.covered_window == 0:
+            continue  # gated: device value unused
+        got_val = f32(int(got.trimmed_sum[c])) / f32(hi - lo)
+        assert got_val == want or (np.isnan(got_val) and np.isnan(want)), (
+            engine.__name__, c, got_val, want, int(got.trimmed_sum[c]))
