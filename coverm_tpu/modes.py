@@ -118,6 +118,46 @@ def _batch_stats(scan: SampleScan, layout: ReferenceLayout):
     )
 
 
+def _scanned(sources, layout_for_fn, flag_filter, need_hist, trim=None):
+    """Yield (source, header, layout, scan, scan_seconds) in source order.
+
+    With multiple local devices, samples are scanned CONCURRENTLY, one
+    per device (sample data parallelism — the mesh analogue of the
+    reference's serial multi-sample loop, SURVEY.md §2.3); the big
+    record batches stay inside the worker and only the small per-contig
+    statistics are retained.  With one device, the prefetch pipeline
+    overlaps host decode with device compute instead.
+    """
+    import jax
+
+    devs = jax.local_devices()
+    workers = min(len(sources), len(devs))
+    if workers <= 1:
+        for s, (header, batch) in _prefetched(sources):
+            t0 = time.perf_counter()
+            layout = layout_for_fn(header)
+            scan = scan_sample(header, batch, layout, flag_filter,
+                               need_hist, trim=trim)
+            yield s, header, layout, scan, time.perf_counter() - t0
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def job(i, s):
+        t0 = time.perf_counter()
+        with jax.default_device(devs[i % len(devs)]):
+            header, batch = s.read()
+            layout = layout_for_fn(header)
+            scan = scan_sample(header, batch, layout, flag_filter,
+                               need_hist, trim=trim)
+        return s, header, layout, scan, time.perf_counter() - t0
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futures = [ex.submit(job, i, s) for i, s in enumerate(sources)]
+        for f in futures:
+            yield f.result()
+
+
 def _prefetched(sources):
     """Overlap host BAM decode of sample i+1 with compute of sample i
     (the pipeline-parallelism analogue of the reference's
@@ -188,12 +228,10 @@ def contig_coverage(sources, taker, estimators, print_zero_coverage_contigs,
                  else (any_needs_hist_batch(estimators) and not use_trim))
     ee = _exclusion_of(estimators)
     start_transfer_warmup()
-    for source, (header, batch) in _prefetched(sources):
-        t_sample = time.perf_counter()
+    layout_for_fn = lambda header: _layout_for(header, ee, layout_cache)
+    for source, header, layout, scan, t_scan in _scanned(
+            sources, layout_for_fn, flag_filter, need_hist, trim):
         taker.start_stoit(source.name)
-        layout = _layout_for(header, ee, layout_cache)
-        scan = scan_sample(header, batch, layout, flag_filter, need_hist,
-                           trim=trim)
         npo = getattr(source, "num_primary_override", None)
         if npo is not None:
             scan.num_detected_primary_alignments = npo
@@ -247,7 +285,7 @@ def contig_coverage(sources, taker, estimators, print_zero_coverage_contigs,
         rm = ReadsMapped(
             num_mapped_reads=num_mapped_total,
             num_reads=scan.num_detected_primary_alignments)
-        _log_reads_mapped(source.name, rm, time.perf_counter() - t_sample)
+        _log_reads_mapped(source.name, rm, t_scan)
         reads_mapped_vector.append(rm)
         source.finish()
     return reads_mapped_vector
@@ -262,11 +300,10 @@ def genome_coverage_separator(sources, separator: str, taker, estimators,
     need_hist = any_needs_hist(estimators)
     ee = _exclusion_of(estimators)
     start_transfer_warmup()
-    for source, (header, batch) in _prefetched(sources):
-        t_sample = time.perf_counter()
+    layout_for_fn = lambda header: _layout_for(header, ee, layout_cache)
+    for source, header, layout, scan, t_scan in _scanned(
+            sources, layout_for_fn, flag_filter, need_hist):
         taker.start_stoit(source.name)
-        layout = _layout_for(header, ee, layout_cache)
-        scan = scan_sample(header, batch, layout, flag_filter, need_hist)
         npo = getattr(source, "num_primary_override", None)
         if npo is not None:
             scan.num_detected_primary_alignments = npo
@@ -344,7 +381,7 @@ def genome_coverage_separator(sources, separator: str, taker, estimators,
         rm = ReadsMapped(
             num_mapped_reads=num_mapped_total,
             num_reads=scan.num_detected_primary_alignments)
-        _log_reads_mapped(source.name, rm, time.perf_counter() - t_sample)
+        _log_reads_mapped(source.name, rm, t_scan)
         reads_mapped_vector.append(rm)
         source.finish()
     return reads_mapped_vector
@@ -358,11 +395,10 @@ def genome_coverage_named(sources, genomes_and_contigs, taker, estimators,
     need_hist = any_needs_hist(estimators)
     ee = _exclusion_of(estimators)
     start_transfer_warmup()
-    for source, (header, batch) in _prefetched(sources):
-        t_sample = time.perf_counter()
+    layout_for_fn = lambda header: _layout_for(header, ee, layout_cache)
+    for source, header, layout, scan, t_scan in _scanned(
+            sources, layout_for_fn, flag_filter, need_hist):
         taker.start_stoit(source.name)
-        layout = _layout_for(header, ee, layout_cache)
-        scan = scan_sample(header, batch, layout, flag_filter, need_hist)
         npo = getattr(source, "num_primary_override", None)
         if npo is not None:
             scan.num_detected_primary_alignments = npo
@@ -404,7 +440,7 @@ def genome_coverage_named(sources, genomes_and_contigs, taker, estimators,
         rm = ReadsMapped(
             num_mapped_reads=num_mapped_total,
             num_reads=scan.num_detected_primary_alignments)
-        _log_reads_mapped(source.name, rm, time.perf_counter() - t_sample)
+        _log_reads_mapped(source.name, rm, t_scan)
         reads_mapped_vector.append(rm)
         source.finish()
     return reads_mapped_vector

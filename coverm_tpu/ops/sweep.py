@@ -229,6 +229,12 @@ def _sweep_packed(starts, lens_or_ends, counts_ext, seg_len, scalar_len,
     r = _sweep_core(tids, starts, ends, valid_block, end_keep, seg_len,
                     n_seg, ee, with_max=True)
     sum_w, cov_w, cov_f, max_w, gmax = r[:5]
+    if not need_hist and trim is None:
+        # Workaround for a TPU AOT compiler SIGSEGV: concatenating 5+ of
+        # the per-seg reductions crashes the compile UNLESS a second sort
+        # appears in the graph (the hist/trim sections both have one).
+        # An n_seg-sized no-op sort breaks the offending fusion for free.
+        sum_w = sum_w + 0 * jax.lax.sort(sum_w)
     parts = [sum_w, cov_w, cov_f, max_w, r[8], r[9],
              gmax.astype(jnp.int64).reshape(1)]
     if trim is not None:
@@ -389,13 +395,20 @@ def _use_pallas() -> bool:
 
 
 def _device_lengths(layout: ReferenceLayout, n_seg: int):
-    cached = getattr(layout, "_sweep_seg_len", None)
-    if cached is not None and cached.shape[0] == n_seg:
+    # cache keyed by (n_seg, default device) — concurrent sample scans
+    # pin different devices via jax.default_device (modes._scanned)
+    dev_cfg = jax.config.jax_default_device
+    key = (n_seg, getattr(dev_cfg, "id", None))
+    cache = getattr(layout, "_sweep_seg_len_cache", None)
+    if cache is None:
+        cache = layout._sweep_seg_len_cache = {}
+    cached = cache.get(key)
+    if cached is not None:
         return cached
     seg_len = np.zeros(n_seg, dtype=np.int64)
     seg_len[: layout.n_contigs] = layout.lengths
     dev = jnp.asarray(seg_len)
-    layout._sweep_seg_len = dev
+    cache[key] = dev
     return dev
 
 
