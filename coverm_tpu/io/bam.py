@@ -265,24 +265,36 @@ def parse_bam_bytes(raw: bytes) -> tuple:
 def parse_bam_data_raw(data: bytes) -> tuple:
     """Decode uncompressed BAM bytes -> (BamHeader, RecordBatch)."""
     header, off = _parse_header(data)
+    batch, _end = parse_records(data, off)
+    return header, batch
+
+
+def parse_records(data: bytes, start: int, end: int | None = None) -> tuple:
+    """Decode the COMPLETE records in data[start:end) -> (RecordBatch,
+    end_offset). Records straddling `end` are left for the caller's next
+    buffer (streaming ingestion)."""
     arr = np.frombuffer(data, dtype=np.uint8)
-    n_bytes = len(data)
+    n_bytes = len(data) if end is None else end
+    off = start
 
     # 1. record offsets + aux tags + qname hashes (native fast path)
     from . import native
-    native_scan = native.scan_records(data, off)
+    native_scan = native.scan_records(data, off, n_bytes)
     if native_scan is not None:
         rec_offs, native_nm, native_as, native_qh = native_scan
+        end_off = int(rec_offs[-1] + 4 + int(
+            _u32_gather(arr, rec_offs[-1:])[0])) if rec_offs.size else off
     else:
         native_nm = None
         rec_offs = []
         p = off
         while p + 4 <= n_bytes:
             (block_size,) = struct.unpack_from("<I", data, p)
-            if block_size == 0:
+            if block_size == 0 or p + 4 + block_size > n_bytes:
                 break
             rec_offs.append(p)
             p += 4 + block_size
+        end_off = p
         rec_offs = np.asarray(rec_offs, dtype=np.int64)
     n = rec_offs.size
     if n == 0:
@@ -300,7 +312,7 @@ def parse_bam_data_raw(data: bytes) -> tuple:
             block_read=empty_i32.copy(), block_start=empty_i32.copy(),
             block_end=empty_i32.copy(), data=data,
         )
-        return header, batch
+        return batch, end_off
 
     block_sizes = _u32_gather(arr, rec_offs).astype(np.int64)
     rec_end = rec_offs + 4 + block_sizes
@@ -378,7 +390,7 @@ def parse_bam_data_raw(data: bytes) -> tuple:
         block_read=block_read, block_start=block_start, block_end=block_end,
         data=data,
     )
-    return header, batch
+    return batch, end_off
 
 
 class BamReader:
@@ -389,3 +401,101 @@ class BamReader:
         with open(path, "rb") as f:
             raw = f.read()
         self.header, self.batch = parse_bam_bytes(raw)
+
+
+class BamStreamReader:
+    """Stream a BGZF BAM in bounded memory.
+
+    The reference scans record-by-record through htslib
+    (bam_generator.rs:103-144); here the compressed file is memory-mapped,
+    BGZF blocks inflate natively (multi-threaded) segment by segment
+    (~``target_bytes`` uncompressed each), and records decode into
+    RecordBatches that are CUT AT CONTIG BOUNDARIES — every contig's
+    records land in exactly one batch, so per-batch depth statistics are
+    disjoint and merge by plain addition (scan.merge_scans).  Memory is
+    O(segment + largest single contig's records) instead of O(file).
+    """
+
+    def __init__(self, path: str, target_bytes: int = 1 << 28):
+        self.path = path
+        self.target_bytes = int(target_bytes)
+        self.header = None
+
+    def read(self):
+        """(header, batch_iterator) — the header is parsed eagerly."""
+        gen = self._run()
+        header = next(gen)
+        return header, gen
+
+    def _segments(self):
+        from . import native
+        if native.get_lib() is not None:
+            mm = np.memmap(self.path, np.uint8, mode="r")
+            tables = native.bgzf_scan(mm)
+            if tables is not None:
+                off, csz, usz = tables
+                cum = np.cumsum(usz)
+                i, n = 0, off.size
+                while i < n:
+                    base = int(cum[i - 1]) if i else 0
+                    j = int(np.searchsorted(cum, base + self.target_bytes)) + 1
+                    j = min(max(j, i + 1), n)
+                    seg = native.bgzf_inflate_blocks(
+                        mm, off[i:j], csz[i:j], usz[i:j])
+                    if seg is None:
+                        raise BamFormatError(
+                            f"BGZF inflate failed in {self.path}")
+                    yield seg
+                    i = j
+                return
+        # portable fallback: sequential zlib streaming
+        from . import bgzf as _bgzf
+        with open(self.path, "rb") as f:
+            pend, size = [], 0
+            for piece in _bgzf.iter_decompress(f):
+                pend.append(piece)
+                size += len(piece)
+                if size >= self.target_bytes:
+                    yield b"".join(pend)
+                    pend, size = [], 0
+            if pend:
+                yield b"".join(pend)
+
+    def _run(self):
+        carry = b""
+        for seg in self._segments():
+            buf = carry + seg if carry else seg
+            carry = b""
+            start = 0
+            if self.header is None:
+                try:
+                    self.header, start = _parse_header(buf)
+                except (struct.error, IndexError, UnicodeDecodeError):
+                    carry = buf  # header spans segments; keep accumulating
+                    continue
+                yield self.header
+            batch, end_off = parse_records(buf, start)
+            if batch.n_records == 0:
+                carry = buf[end_off:]
+                continue
+            # hold back the trailing open contig so no contig spans batches
+            last_tid = int(batch.tid[-1])
+            earlier = np.flatnonzero(batch.tid != last_tid)
+            cut = int(earlier[-1]) + 1 if earlier.size else 0
+            if cut == 0:
+                carry = buf[int(batch.rec_start[0]):]
+                continue
+            cut_off = int(batch.rec_start[cut])
+            yield batch.select(np.arange(batch.n_records) < cut)
+            carry = buf[cut_off:]
+        if self.header is None:
+            self.header, start = _parse_header(carry)
+            yield self.header
+            carry = carry[start:] if start else carry
+            batch, _ = parse_records(carry, 0) if carry else (None, 0)
+        elif carry:
+            batch, _ = parse_records(carry, 0)
+        else:
+            batch = None
+        if batch is not None and batch.n_records:
+            yield batch

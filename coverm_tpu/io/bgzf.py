@@ -36,6 +36,24 @@ def decompress_all(data: bytes) -> bytes:
     return b"".join(out)
 
 
+def iter_decompress(fileobj, chunk_size: int = 1 << 22):
+    """Yield decompressed pieces of a (multi-member) BGZF/gzip stream."""
+    d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+    while True:
+        chunk = fileobj.read(chunk_size)
+        if not chunk:
+            break
+        data = chunk
+        while data:
+            piece = d.decompress(data)
+            if piece:
+                yield piece
+            if not d.eof:
+                break
+            data = d.unused_data
+            d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+
+
 def decompress_file(path: str) -> bytes:
     with open(path, "rb") as f:
         return decompress_all(f.read())

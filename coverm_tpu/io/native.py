@@ -32,11 +32,12 @@ def get_lib():
         _tried = True
         if os.environ.get("COVERM_TPU_NO_NATIVE"):
             return None
-        if not os.path.exists(_SO_PATH):
-            try:
-                subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                               capture_output=True, check=True, timeout=300)
-            except Exception:
+        try:
+            # make is a no-op when the .so is newer than the source
+            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                           capture_output=True, check=True, timeout=300)
+        except Exception:
+            if not os.path.exists(_SO_PATH):
                 return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
@@ -53,6 +54,8 @@ def get_lib():
                                         c_i64p, c_u8p, ctypes.c_int32]
         lib.ct_count_records.restype = c_i64
         lib.ct_count_records.argtypes = [c_u8p, c_i64, c_i64]
+        lib.ct_walk_complete.restype = c_i64
+        lib.ct_walk_complete.argtypes = [c_u8p, c_i64, c_i64, c_i64p]
         lib.ct_scan_records.restype = c_i64
         lib.ct_scan_records.argtypes = [c_u8p, c_i64, c_i64, c_i64, c_i64p,
                                         c_i64p, c_i64p, c_u64p]
@@ -98,20 +101,72 @@ def bgzf_decompress(raw: bytes, n_threads: int = 0) -> bytes | None:
     return out.tobytes()
 
 
-def scan_records(data: bytes, header_end: int):
-    """Native record-offset walk + NM/AS aux scan + qname hashing.
+def walk_complete(data, start: int, end: int | None = None):
+    """(n_complete, end_off) of the records fully inside [start, end),
+    or None without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8)
+    end = arr.size if end is None else end
+    end_off = np.zeros(1, np.int64)
+    n = lib.ct_walk_complete(_u8p(arr), end, start, _i64p(end_off))
+    return int(n), int(end_off[0])
+
+
+def bgzf_scan(arr: np.ndarray):
+    """Per-block (offset, csize, usize) tables of a BGZF byte array
+    (may be a memmap), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = lib.ct_bgzf_scan(_u8p(arr), arr.size, None, None, None)
+    if n < 0:
+        return None
+    off = np.empty(n, np.int64)
+    csz = np.empty(n, np.int64)
+    usz = np.empty(n, np.int64)
+    lib.ct_bgzf_scan(_u8p(arr), arr.size, _i64p(off), _i64p(csz), _i64p(usz))
+    return off, csz, usz
+
+
+def bgzf_inflate_blocks(arr: np.ndarray, off, csz, usz,
+                        n_threads: int = 0) -> bytes | None:
+    """Multi-threaded inflate of a RANGE of BGZF blocks from `arr`."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out_off = np.concatenate(([0], np.cumsum(usz)))[:-1]
+    out = np.empty(int(usz.sum()), np.uint8)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 8)
+    rc = lib.ct_bgzf_inflate(_u8p(arr), off.size,
+                             _i64p(np.ascontiguousarray(off)),
+                             _i64p(np.ascontiguousarray(csz)),
+                             _i64p(np.ascontiguousarray(usz)),
+                             _i64p(out_off), _u8p(out), n_threads)
+    if rc != 0:
+        return None
+    return out.tobytes()
+
+
+def scan_records(data, header_end: int, end: int | None = None):
+    """Native record-offset walk + NM/AS aux scan + qname hashing over
+    the COMPLETE records in [header_end, end).
 
     Returns (rec_off, nm, as_score, qname_hash) or None."""
     lib = get_lib()
     if lib is None:
         return None
     arr = np.frombuffer(data, dtype=np.uint8)
-    n = lib.ct_count_records(_u8p(arr), arr.size, header_end)
+    end = arr.size if end is None else end
+    end_off = np.zeros(1, np.int64)
+    n = lib.ct_walk_complete(_u8p(arr), end, header_end, _i64p(end_off))
     rec_off = np.empty(n, np.int64)
     nm = np.empty(n, np.int64)
     as_score = np.empty(n, np.int64)
     qh = np.empty(n, np.uint64)
-    filled = lib.ct_scan_records(_u8p(arr), arr.size, header_end, n,
+    filled = lib.ct_scan_records(_u8p(arr), end, header_end, n,
                                  _i64p(rec_off), _i64p(nm), _i64p(as_score),
                                  _u64p(qh))
     if filled < 0:

@@ -23,7 +23,7 @@ from .flags import FlagFilter
 from .io.bam import BamReader
 from .ops.depth import ReferenceLayout, start_transfer_warmup
 from .printers import ReadsMapped
-from .scan import SampleScan, scan_sample
+from .scan import SampleScan, scan_any, scan_sample
 
 logger = logging.getLogger("coverm_tpu")
 
@@ -42,6 +42,12 @@ def _log_reads_mapped(stoit_name, rm, elapsed=None):
         logger.warning(
             "No primary alignments were observed for sample %s - perhaps "
             "something went wrong in the mapping?", stoit_name)
+
+
+# BAMs whose compressed size exceeds this stream in bounded memory
+# (contig-boundary batches) instead of whole-file decode
+STREAM_THRESHOLD_BYTES = int(os.environ.get(
+    "COVERM_TPU_STREAM_THRESHOLD", 1 << 29))
 
 
 @dataclass
@@ -63,6 +69,9 @@ class BamFileSource:
         return self.stoit_name
 
     def read(self):
+        if os.path.getsize(self.path) >= STREAM_THRESHOLD_BYTES:
+            from .io.bam import BamStreamReader
+            return BamStreamReader(self.path).read()
         r = BamReader(self.path)
         return r.header, r.batch
 
@@ -133,11 +142,11 @@ def _scanned(sources, layout_for_fn, flag_filter, need_hist, trim=None):
     devs = jax.local_devices()
     workers = min(len(sources), len(devs))
     if workers <= 1:
-        for s, (header, batch) in _prefetched(sources):
+        for s, (header, payload) in _prefetched(sources):
             t0 = time.perf_counter()
             layout = layout_for_fn(header)
-            scan = scan_sample(header, batch, layout, flag_filter,
-                               need_hist, trim=trim)
+            scan = scan_any(header, payload, layout, flag_filter,
+                            need_hist, trim=trim)
             yield s, header, layout, scan, time.perf_counter() - t0
         return
 
@@ -146,10 +155,10 @@ def _scanned(sources, layout_for_fn, flag_filter, need_hist, trim=None):
     def job(i, s):
         t0 = time.perf_counter()
         with jax.default_device(devs[i % len(devs)]):
-            header, batch = s.read()
+            header, payload = s.read()
             layout = layout_for_fn(header)
-            scan = scan_sample(header, batch, layout, flag_filter,
-                               need_hist, trim=trim)
+            scan = scan_any(header, payload, layout, flag_filter,
+                            need_hist, trim=trim)
         return s, header, layout, scan, time.perf_counter() - t0
 
     with ThreadPoolExecutor(max_workers=workers) as ex:

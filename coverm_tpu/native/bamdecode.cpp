@@ -103,6 +103,26 @@ int ct_bgzf_inflate(const uint8_t* data, int64_t n_blocks,
 
 // -------------------------------------------------------------- records ----
 
+// Walk records from `start`, counting only records FULLY contained in
+// [start, len); writes the end offset of the last complete record to
+// *end_off. Used by the streaming reader to cut segment buffers at
+// record boundaries before the aux scan (which reads up to block_size
+// bytes of each record and must never cross the buffer end).
+int64_t ct_walk_complete(const uint8_t* data, int64_t len, int64_t start,
+                         int64_t* end_off) {
+  int64_t n = 0;
+  int64_t pos = start;
+  while (pos + 4 <= len) {
+    uint32_t bs;
+    memcpy(&bs, data + pos, 4);
+    if (bs == 0 || pos + 4 + (int64_t)bs > len) break;
+    n++;
+    pos += 4 + (int64_t)bs;
+  }
+  if (end_off) *end_off = pos;
+  return n;
+}
+
 // Count records from `start` (end of header block) to `len`.
 int64_t ct_count_records(const uint8_t* data, int64_t len, int64_t start) {
   int64_t n = 0;

@@ -114,3 +114,113 @@ def scan_sample(header: BamHeader, batch: RecordBatch, layout: ReferenceLayout,
         identity_sum_nonsupp=identity_sum_nonsupp,
         num_detected_primary_alignments=num_primary,
     )
+
+
+def merge_scans(a: SampleScan, b: SampleScan) -> SampleScan:
+    """Merge per-batch scans whose observed contigs are DISJOINT (the
+    BamStreamReader's contig-boundary batching guarantees this): every
+    per-contig statistic is zero on untouched contigs, so merging is
+    plain addition (max/min/trimmed included — only one side is ever
+    nonzero per contig)."""
+    da, db = a.depth, b.depth
+
+    def add(x, y):
+        return None if x is None else x + y
+
+    hist = None
+    if da.hist is not None:
+        wa, wb = da.hist.shape[1], db.hist.shape[1]
+        W = max(wa, wb)
+        hist = np.zeros((da.hist.shape[0], W), dtype=np.int64)
+        hist[:, :wa] += da.hist
+        hist[:, :wb] += db.hist
+    depth = DepthStats(
+        sum_depth_window=da.sum_depth_window + db.sum_depth_window,
+        covered_window=da.covered_window + db.covered_window,
+        covered_full=da.covered_full + db.covered_full,
+        max_depth_window=da.max_depth_window + db.max_depth_window,
+        hist=hist,
+        trimmed_sum=add(da.trimmed_sum, db.trimmed_sum),
+        sumsq_window=add(da.sumsq_window, db.sumsq_window),
+        min_depth_window=add(da.min_depth_window, db.min_depth_window),
+    )
+    return SampleScan(
+        header=a.header, depth=depth,
+        observed=a.observed | b.observed,
+        reads_primary=a.reads_primary + b.reads_primary,
+        reads_nonsupp=a.reads_nonsupp + b.reads_nonsupp,
+        reads_all=a.reads_all + b.reads_all,
+        nm_sum=a.nm_sum + b.nm_sum,
+        indel_sum=a.indel_sum + b.indel_sum,
+        identity_sum_primary=a.identity_sum_primary + b.identity_sum_primary,
+        identity_sum_nonsupp=a.identity_sum_nonsupp + b.identity_sum_nonsupp,
+        num_detected_primary_alignments=(
+            a.num_detected_primary_alignments
+            + b.num_detected_primary_alignments),
+    )
+
+
+def _empty_scan(header: BamHeader) -> SampleScan:
+    C = header.n_ref
+    z = lambda: np.zeros(C, dtype=np.int64)
+    depth = DepthStats(z(), z(), z(), z(), None, None, z(), z())
+    return SampleScan(
+        header=header, depth=depth, observed=np.zeros(C, dtype=bool),
+        reads_primary=z(), reads_nonsupp=z(), reads_all=z(),
+        nm_sum=z(), indel_sum=z(),
+        identity_sum_primary=np.zeros(C), identity_sum_nonsupp=np.zeros(C),
+        num_detected_primary_alignments=0)
+
+
+def scan_sample_batches(header: BamHeader, batches, layout: ReferenceLayout,
+                        flag_filter: FlagFilter, need_hist: bool, trim=None,
+                        depth_fn=compute_depth_stats_sweep) -> SampleScan:
+    """Streaming scan: per-batch scans merged by addition, with the next
+    batch decoding on a thread while the device works on the current one
+    (the batch-level analogue of modes._prefetched)."""
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=1)
+
+    def feeder():
+        try:
+            for b in batches:
+                q.put((b, None))
+            q.put(None)
+        except BaseException as e:
+            q.put((None, e))
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+
+    agg = None
+    last_max_tid = -1
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        batch, err = item
+        if err is not None:
+            raise err
+        mapped_tids = batch.tid[~batch.is_unmapped()]
+        if mapped_tids.size:
+            if int(mapped_tids[0]) < last_max_tid:
+                raise BamSortingError(
+                    "BAM file appears to be unsorted. Input BAM files must "
+                    "be sorted by reference (i.e. by samtools sort)")
+            last_max_tid = max(last_max_tid, int(mapped_tids.max()))
+        s = scan_sample(header, batch, layout, flag_filter, need_hist,
+                        trim=trim, depth_fn=depth_fn)
+        agg = s if agg is None else merge_scans(agg, s)
+    return agg if agg is not None else _empty_scan(header)
+
+
+def scan_any(header, payload, layout, flag_filter, need_hist, trim=None,
+             depth_fn=compute_depth_stats_sweep) -> SampleScan:
+    """Dispatch: RecordBatch -> scan_sample; batch iterator -> streaming."""
+    if isinstance(payload, RecordBatch):
+        return scan_sample(header, payload, layout, flag_filter, need_hist,
+                           trim=trim, depth_fn=depth_fn)
+    return scan_sample_batches(header, payload, layout, flag_filter,
+                               need_hist, trim=trim, depth_fn=depth_fn)
