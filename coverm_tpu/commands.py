@@ -64,6 +64,10 @@ def _build_sources(args):
             sources = [BamFileSource(p) for p in args.bam_files]
         return sources, ff
     # mapping from raw reads
+    if getattr(args, "sharded", False):
+        from .mapping.pipeline import build_sharded_mapping_sources
+        return build_sharded_mapping_sources(args, fp, ff,
+                                             _genome_exclusion_of(args))
     from .mapping import build_mapping_sources
     return build_mapping_sources(args, fp, ff)
 

@@ -87,13 +87,15 @@ class MappedReadsSource:
     """Run a mapper, consume its SAM stdout, sort in-engine."""
 
     def __init__(self, mapping_program, index, job, stoit_name,
-                 cached_bam_path=None, discard_unmapped=False):
+                 cached_bam_path=None, discard_unmapped=False,
+                 sort_mode="coordinate"):
         self.mapping_program = mapping_program
         self.index = index
         self.job = job
         self.stoit_name = stoit_name
         self.cached_bam_path = cached_bam_path
         self.discard_unmapped = discard_unmapped
+        self.sort_mode = sort_mode
         self.num_primary_override = None
 
     @property
@@ -123,7 +125,8 @@ class MappedReadsSource:
                 "indicated a problem: read1 and read2 have different numbers "
                 "of records")
         header, batch = parse_bam_data_raw(data)
-        batch = sort_batch(batch)
+        batch = (name_sort_batch(batch) if self.sort_mode == "name"
+                 else sort_batch(batch))
         if self.cached_bam_path is not None:
             write_bam(self.cached_bam_path, header, batch,
                       discard_unmapped=self.discard_unmapped)
@@ -131,6 +134,14 @@ class MappedReadsSource:
 
     def finish(self):
         self.index.cleanup()
+
+
+def name_sort_batch(batch):
+    """Read-name order (samtools sort -n analogue for desharding): group
+    by qname hash, read1 before read2."""
+    read2 = (batch.flag & 0x80) != 0
+    order = np.lexsort((read2, batch.qname_hash))
+    return reorder_batch(batch, order)
 
 
 def sort_batch(batch):
@@ -226,6 +237,31 @@ def build_mapping_sources(args, filter_params, flag_filters):
                 discard_unmapped=getattr(args, "discard_unmapped", False))
             sources.append(src)
 
+    if filter_params.doing_filtering():
+        sources = [FilteredMappedSource(s, filter_params, flag_filters)
+                   for s in sources]
+    return sources, flag_filters
+
+
+def build_sharded_mapping_sources(args, filter_params, flag_filters,
+                                  genome_exclusion=None):
+    """--sharded from raw reads: one ShardedMappingSource per read set,
+    spanning every reference (coverm.rs:187-229 / shard_bam_reader.rs:562)."""
+    from ..shard import ShardedMappingSource
+
+    refs, _tempfiles = _resolve_references(args)
+    params = MappingParameters.generate_from_args(args, refs)
+    per_ref_jobs = [jobs for (_ref, jobs) in params.references]
+    indexes = [setup_mapping_index(ref, args.mapper, threads=args.threads)
+               for ref, _jobs in params.references]
+    n_sets = len(per_ref_jobs[0]) if per_ref_jobs else 0
+    sources = []
+    for k in range(n_sets):
+        jobs_k = [per_ref_jobs[r][k] for r in range(len(refs))]
+        sources.append(ShardedMappingSource(
+            args.mapper, indexes, jobs_k,
+            name_stoit(refs[0], jobs_k[0].read1, False),
+            genome_exclusion))
     if filter_params.doing_filtering():
         sources = [FilteredMappedSource(s, filter_params, flag_filters)
                    for s in sources]

@@ -45,19 +45,28 @@ class ShardedBamSource:
 
     def read(self):
         shards = [BamReader(p) for p in self.bam_paths]
-        headers = [s.header for s in shards]
-        # concatenated header with tid offsets (shard_bam_reader.rs:313-336)
-        tid_offsets = np.concatenate(
-            ([0], np.cumsum([h.n_ref for h in headers])))[:-1]
-        merged_names = [n for h in headers for n in h.target_names]
-        merged_lens = np.concatenate([h.target_lens for h in headers])
-        merged_header = BamHeader(
-            text="", target_names=merged_names, target_lens=merged_lens,
-            raw=b"")
+        return merge_shards([s.header for s in shards],
+                            [s.batch for s in shards], self.genome_exclusion)
 
+    def finish(self):
+        pass
+
+
+def merge_shards(headers, raw_batches, genome_exclusion=None):
+    """Best-hit merge of name-aligned shard batches -> (header, batch)."""
+    genome_exclusion = genome_exclusion or NoExclusionGenomeFilter()
+    # concatenated header with tid offsets (shard_bam_reader.rs:313-336)
+    tid_offsets = np.concatenate(
+        ([0], np.cumsum([h.n_ref for h in headers])))[:-1]
+    merged_names = [n for h in headers for n in h.target_names]
+    merged_lens = np.concatenate([h.target_lens for h in headers])
+    merged_header = BamHeader(
+        text="", target_names=merged_names, target_lens=merged_lens,
+        raw=b"")
+
+    if True:
         prim = []
-        for s in shards:
-            b = s.batch
+        for b in raw_batches:
             keep = b.is_primary()
             if not np.all((b.flag[keep] & 0x1) != 0):
                 raise SystemExit(
@@ -95,10 +104,10 @@ class ShardedBamSource:
                     "for ranking pairs of alignments.")
             scores[s_i] = as_[0::2] + as_[1::2]
             first_tids = p.tid[0::2]
-            if not isinstance(self.genome_exclusion, NoExclusionGenomeFilter):
+            if not isinstance(genome_exclusion, NoExclusionGenomeFilter):
                 names = headers[s_i].target_names
                 excl = np.array([
-                    t >= 0 and self.genome_exclusion.is_excluded(names[t])
+                    t >= 0 and genome_exclusion.is_excluded(names[t])
                     for t in first_tids.tolist()])
                 allowed[s_i] = ~excl
 
@@ -157,5 +166,38 @@ class ShardedBamSource:
         from .mapping.pipeline import sort_batch
         return merged_header, sort_batch(batch)
 
+
+class ShardedMappingSource:
+    """`--sharded` from raw reads: map one read set against EACH
+    reference, align shard outputs by read name, best-hit merge
+    (shard_bam_reader.rs:562-695, without the samtools sort -n stage —
+    the name alignment is an in-engine lexsort)."""
+
+    def __init__(self, mapping_program, indexes, jobs, stoit_name,
+                 genome_exclusion: GenomeExclusion = None):
+        self.mapping_program = mapping_program
+        self.indexes = list(indexes)
+        self.jobs = list(jobs)
+        self.stoit_name = stoit_name
+        self.genome_exclusion = genome_exclusion or NoExclusionGenomeFilter()
+        self.num_primary_override = None
+
+    @property
+    def name(self):
+        return self.stoit_name
+
+    def read(self):
+        from .mapping.pipeline import MappedReadsSource
+
+        headers, batches = [], []
+        for index, job in zip(self.indexes, self.jobs):
+            src = MappedReadsSource(self.mapping_program, index, job,
+                                    self.stoit_name, sort_mode="name")
+            header, batch = src.read()
+            headers.append(header)
+            batches.append(batch)
+        return merge_shards(headers, batches, self.genome_exclusion)
+
     def finish(self):
-        pass
+        for index in self.indexes:
+            index.cleanup()

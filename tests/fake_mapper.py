@@ -96,7 +96,7 @@ def main():
 
     def emit(qname, flag, rname, pos, cigar, rnext, pnext, seq, nm):
         if rname is None:
-            out.write(f"{qname}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq}\t*\n")
+            out.write(f"{qname}\t{flag | 0x4}\t*\t0\t0\t*\t*\t0\t0\t{seq}\t*\n")
         else:
             L = len(seq)
             out.write(

@@ -254,3 +254,40 @@ def test_coupled_uneven_counts_rejected(fake_mappers, tmp_path):
     r1.write_text("@a\nACGT\n+\nIIII\n")
     with pytest.raises(SystemExit):
         main(["contig", "-r", str(ref), "-1", str(r1), "-2"])
+
+
+def test_sharded_mapping_from_reads(fake_mappers, tmp_path, capsys):
+    """--sharded with raw reads: map against each reference, best-AS
+    merge with deterministic (first-shard) tie-break."""
+    rng = np.random.default_rng(11)
+    sA = _rand_seq(rng, 400)
+    sB = _rand_seq(rng, 400)
+    shared = _rand_seq(rng, 200)
+    refA = tmp_path / "refA.fna"
+    refB = tmp_path / "refB.fna"
+    # both references carry `shared`; only A has sA, only B has sB
+    refA.write_text(f">cA\n{sA + shared}\n")
+    refB.write_text(f">cB\n{sB + shared}\n")
+    r1 = tmp_path / "r1.fq"
+    r2 = tmp_path / "r2.fq"
+    e1, e2 = [], []
+    # pair 0: only in A; pair 1: only in B; pair 2: in both (tie -> A)
+    e1.append(f"@pA\n{sA[0:100]}\n+\n{'I' * 100}")
+    e2.append(f"@pA\n{sA[100:200]}\n+\n{'I' * 100}")
+    e1.append(f"@pB\n{sB[0:100]}\n+\n{'I' * 100}")
+    e2.append(f"@pB\n{sB[100:200]}\n+\n{'I' * 100}")
+    e1.append(f"@pT\n{shared[0:100]}\n+\n{'I' * 100}")
+    e2.append(f"@pT\n{shared[100:200]}\n+\n{'I' * 100}")
+    r1.write_text("\n".join(e1) + "\n")
+    r2.write_text("\n".join(e2) + "\n")
+
+    out = run_cli([
+        "contig", "--sharded", "-r", str(refA), str(refB),
+        "-1", str(r1), "-2", str(r2), "-p", "minimap2-sr",
+        "-m", "count", "--contig-end-exclusion", "0",
+        "--output-format", "sparse",
+    ], capsys)
+    lines = out.strip().split("\n")
+    rows = {l.split("\t")[1]: l.split("\t")[2] for l in lines[1:]}
+    # pA (2 reads) + tied pT (2 reads, first shard wins) on cA; pB on cB
+    assert rows == {"cA": "4", "cB": "2"}
