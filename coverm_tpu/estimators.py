@@ -76,12 +76,15 @@ class EntityStats:
 
 @dataclass
 class BatchStats:
-    """Column-wise EntityStats over C entities with no unobserved contigs
-    (the contig-mode case: every entity IS one observed contig).
+    """Column-wise EntityStats over C entities.
 
     Enables vectorised estimator evaluation — the scalar ``calculate``
-    path costs ~100us/contig in Python, which dominates assembly-scale
-    runs (500k contigs); the batch path is a handful of numpy passes.
+    path costs ~100us/entity in Python, which dominates assembly-scale
+    runs (500k contigs / 100k genomes); the batch path is a handful of
+    numpy passes.  In contig mode every entity is one observed contig
+    and the unobserved columns are zero; in genome mode entities are
+    genomes aggregated by segment reductions, with the unobserved-contig
+    bookkeeping (genome.rs:448-499) carried in the two columns below.
     """
 
     total_count: np.ndarray          # int64[C]
@@ -94,6 +97,10 @@ class BatchStats:
     mismatches: np.ndarray           # int64[C]
     sum_identity: np.ndarray         # f64[C]
     hist: np.ndarray | None = None   # int64[C, D]
+    # unobserved-contig contributions (calculate_unobserved_bases quirk
+    # included: a contig shorter than 2*exclusion adds its FULL length)
+    unobserved_window_bases: np.ndarray | int = 0  # int64[C]
+    unobserved_full_bases: np.ndarray | int = 0    # int64[C]
     # moments: enough for variance without a histogram
     sumsq_window: np.ndarray | None = None      # int64[C] Σ depth² in window
     min_depth_window: np.ndarray | None = None  # int64[C] min depth in window
@@ -149,7 +156,7 @@ class MeanEstimator(Estimator):
         return f32(numer) / f32(final_total)
 
     def calculate_batch(self, b: BatchStats) -> np.ndarray:
-        final_total = b.total_bases_window
+        final_total = b.total_bases_window + b.unobserved_window_bases
         with np.errstate(divide="ignore", invalid="ignore"):
             frac = _f32(b.covered_window) / _f32(final_total)
             numer = (b.total_count - b.mismatches if self.exclude_mismatches
@@ -223,17 +230,20 @@ class TrimmedMeanEstimator(Estimator):
         return lo, hi
 
     def calculate_batch(self, b: BatchStats) -> np.ndarray:
-        total_bases = b.total_bases_window
+        unobs = b.unobserved_window_bases
+        total_bases = b.total_bases_window + unobs
         with np.errstate(divide="ignore", invalid="ignore"):
             frac = _f32(b.covered_window) / _f32(total_bases)
         gate = ((total_bases == 0)
                 | (frac < f32(self.min_fraction_covered_bases))
                 | (b.covered_window == 0))
         lo, hi = self.trim_bounds(total_bases)
-        if b.trimmed_sum is not None:
+        if b.trimmed_sum is not None and np.all(np.asarray(unobs) == 0):
             total = b.trimmed_sum  # device-computed rank-range sum
         else:
-            total = trimmed_total_from_hist(b.hist, lo, hi)
+            counts = b.hist.copy()
+            counts[:, 0] += unobs
+            total = trimmed_total_from_hist(counts, lo, hi)
         with np.errstate(divide="ignore", invalid="ignore"):
             out = _f32(total) / _f32(hi - lo)
         out[gate] = f32(0.0)
@@ -300,11 +310,12 @@ class PileupCountsEstimator(Estimator):
         return f32(total_bases - s.covered_window + 1)
 
     def calculate_batch(self, b: BatchStats) -> np.ndarray:
-        total_bases = b.total_bases_window
+        gate0 = b.total_bases_window == 0
+        total_bases = b.total_bases_window + b.unobserved_window_bases
         with np.errstate(divide="ignore", invalid="ignore"):
             frac = _f32(b.covered_window) / _f32(total_bases)
         out = _f32(total_bases - b.covered_window + 1)
-        out[(total_bases == 0)
+        out[gate0
             | (frac < f32(self.min_fraction_covered_bases))] = f32(0.0)
         return out
 
@@ -335,7 +346,7 @@ class CoveredFractionEstimator(Estimator):
         return f32(s.covered_full) / f32(final_total)
 
     def calculate_batch(self, b: BatchStats) -> np.ndarray:
-        final_total = b.total_bases_full
+        final_total = b.total_bases_full + b.unobserved_full_bases
         with np.errstate(divide="ignore", invalid="ignore"):
             frac = _f32(b.covered_full) / _f32(final_total)
         out = frac.copy()
@@ -358,7 +369,7 @@ class CoveredBasesEstimator(Estimator):
         return f32(s.covered_full)
 
     def calculate_batch(self, b: BatchStats) -> np.ndarray:
-        final_total = b.total_bases_full
+        final_total = b.total_bases_full + b.unobserved_full_bases
         with np.errstate(divide="ignore", invalid="ignore"):
             frac = _f32(b.covered_full) / _f32(final_total)
         out = _f32(b.covered_full)
@@ -383,7 +394,7 @@ class RPKMEstimator(Estimator):
         return f32(s.reads * 10**9) / f32(final_total)
 
     def calculate_batch(self, b: BatchStats) -> np.ndarray:
-        final_total = b.total_bases_full
+        final_total = b.total_bases_full + b.unobserved_full_bases
         with np.errstate(divide="ignore", invalid="ignore"):
             frac = _f32(b.covered_full) / _f32(final_total)
             out = _f32(b.reads * 10**9) / _f32(final_total)
@@ -409,7 +420,7 @@ class TPMEstimator(Estimator):
         return f32(np.exp(np.log(f64(s.reads)) - np.log(f64(final_total))))
 
     def calculate_batch(self, b: BatchStats) -> np.ndarray:
-        final_total = b.total_bases_full
+        final_total = b.total_bases_full + b.unobserved_full_bases
         with np.errstate(divide="ignore", invalid="ignore"):
             frac = _f32(b.covered_full) / _f32(final_total)
             out = np.exp(np.log(b.reads.astype(f64))
@@ -462,7 +473,8 @@ class VarianceEstimator(Estimator):
         non-empty bin, estimators.rs:788-793) is 0 unless the window is
         fully covered, in which case it is the window minimum depth; the
         Σ(x-k)·c / Σ(x-k)²·c sums follow from {Σ1, Σd, Σd²}."""
-        total_bases = b.total_bases_window
+        unobs = np.asarray(b.unobserved_window_bases)
+        total_bases = b.total_bases_window + unobs
         with np.errstate(divide="ignore", invalid="ignore"):
             frac = _f32(b.covered_window) / _f32(total_bases)
         gate = ((total_bases == 0)
@@ -490,7 +502,7 @@ class LengthEstimator(Estimator):
         return f32(s.observed_length_full + sum(s.unobserved_lengths))
 
     def calculate_batch(self, b: BatchStats) -> np.ndarray:
-        return _f32(b.observed_length_full)
+        return _f32(b.observed_length_full + b.unobserved_full_bases)
 
     def zero_entry_value(self, entry_length: int):
         return f32(entry_length)
@@ -517,7 +529,8 @@ class ReadsPerBaseEstimator(Estimator):
 
     def calculate_batch(self, b: BatchStats) -> np.ndarray:
         with np.errstate(divide="ignore", invalid="ignore"):
-            return _f32(b.reads) / _f32(b.observed_length_full)
+            return _f32(b.reads) / _f32(
+                b.observed_length_full + b.unobserved_full_bases)
 
 
 @dataclass

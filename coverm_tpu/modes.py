@@ -167,6 +167,67 @@ def _scanned(sources, layout_for_fn, flag_filter, need_hist, trim=None):
             yield f.result()
 
 
+def _genome_batch_stats(scan: SampleScan, layout: ReferenceLayout,
+                        genome_of_tid, n_genomes, reads_vec, identity_vec):
+    """Genome-level BatchStats by segment reductions over the contig
+    axis (the vectorised form of the reference's per-genome estimator
+    cloning + add_contig accumulation, genome.rs:92-97/448-499)."""
+    from .estimators import BatchStats
+    d = scan.depth
+    lens = layout.lengths
+    ee = layout.contig_end_exclusion
+    g = np.asarray(genome_of_tid, dtype=np.int64)
+    valid = g >= 0
+    obs = scan.observed & valid
+    unobs = (~scan.observed) & valid
+
+    def seg_int(x, mask):
+        out = np.zeros(n_genomes, dtype=np.int64)
+        np.add.at(out, g[mask], np.asarray(x)[mask])
+        return out
+
+    def seg_f64(x, mask):
+        out = np.zeros(n_genomes, dtype=np.float64)
+        np.add.at(out, g[mask], np.asarray(x)[mask])
+        return out
+
+    tbw = np.where(lens > 2 * ee, lens - 2 * ee, 0)
+    # calculate_unobserved_bases quirk (estimators.rs:226-243)
+    unobs_w = np.where(lens < 2 * ee, lens, lens - 2 * ee)
+
+    hist = None
+    if d.hist is not None:
+        hist = np.zeros((n_genomes, d.hist.shape[1]), dtype=np.int64)
+        np.add.at(hist, g[obs], d.hist[obs])
+
+    sumsq = seg_int(d.sumsq_window, obs) if d.sumsq_window is not None else None
+    min_depth = None
+    if d.min_depth_window is not None:
+        big = np.int64(1) << 62
+        mins = np.full(n_genomes, big)
+        haswin = obs & (lens > 2 * ee)
+        np.minimum.at(mins, g[haswin], d.min_depth_window[haswin])
+        min_depth = np.where(mins == big, 0, mins)
+
+    return BatchStats(
+        total_count=seg_int(d.sum_depth_window, obs),
+        total_bases_window=seg_int(tbw, obs),
+        covered_window=seg_int(d.covered_window, obs),
+        total_bases_full=seg_int(lens, obs),
+        covered_full=seg_int(d.covered_full, obs),
+        observed_length_full=seg_int(lens, obs),
+        reads=seg_int(reads_vec, obs),
+        mismatches=seg_int(scan.mismatches, obs),
+        sum_identity=seg_f64(identity_vec, obs),
+        hist=hist,
+        unobserved_window_bases=seg_int(unobs_w, unobs),
+        unobserved_full_bases=seg_int(lens, unobs),
+        sumsq_window=sumsq,
+        min_depth_window=min_depth,
+        trimmed_sum=None,  # order statistics do not pool across contigs
+    )
+
+
 def _prefetched(sources):
     """Overlap host BAM decode of sample i+1 with compute of sample i
     (the pipeline-parallelism analogue of the reference's
@@ -306,7 +367,12 @@ def genome_coverage_separator(sources, separator: str, taker, estimators,
                               threads: int = 1, layout_cache=None):
     """`coverm genome -s <sep>` engine (genome.rs:419-797)."""
     reads_mapped_vector = []
-    need_hist = any_needs_hist(estimators)
+    has_pileup = any(isinstance(e, PileupCountsEstimator) for e in estimators)
+    # batch path: variance from pooled moments; histogram only for
+    # coverage_histogram output or trimmed_mean (order statistics pool
+    # through the histogram, not per-contig rank sums)
+    need_hist = (any_needs_hist(estimators) if has_pileup
+                 else any_needs_hist_batch(estimators))
     ee = _exclusion_of(estimators)
     start_transfer_warmup()
     layout_for_fn = lambda header: _layout_for(header, ee, layout_cache)
@@ -361,7 +427,20 @@ def genome_coverage_separator(sources, separator: str, taker, estimators,
                 num_reads=scan.num_detected_primary_alignments))
             source.finish()
             continue
-        for genome, tids in ordered:
+        # vectorised genome aggregation (segment reductions); the scalar
+        # per-genome path remains for coverage_histogram output
+        cov_matrix = None
+        if not has_pileup:
+            gidx = {gname: i for i, (gname, _) in enumerate(ordered)}
+            genome_of_tid = np.fromiter(
+                (gidx[g] for g in genome_of), dtype=np.int64,
+                count=header.n_ref)
+            bs = _genome_batch_stats(scan, layout, genome_of_tid,
+                                     len(ordered), scan.reads_nonsupp,
+                                     scan.identity_sum_primary)
+            cov_matrix = np.stack(
+                [e.calculate_batch(bs) for e in estimators])
+        for gi, (genome, tids) in enumerate(ordered):
             tids = np.asarray(tids)
             obs = tids[scan.observed[tids]]
             unobs = tids[~scan.observed[tids]]
@@ -372,9 +451,14 @@ def genome_coverage_separator(sources, separator: str, taker, estimators,
                                      int(layout.lengths[tids].sum()))
                     taker.finish_entry()
                 continue
-            st = _entity_stats(scan, layout, obs, unobs, scan.reads_nonsupp,
-                               scan.identity_sum_primary)
-            coverages = [e.calculate(st) for e in estimators]
+            if cov_matrix is not None:
+                st = None
+                coverages = list(cov_matrix[:, gi])
+            else:
+                st = _entity_stats(scan, layout, obs, unobs,
+                                   scan.reads_nonsupp,
+                                   scan.identity_sum_primary)
+                coverages = [e.calculate(st) for e in estimators]
             nonzero = any(c > 0.0 for c in coverages)
             if nonzero:
                 num_mapped_total += int(scan.reads_nonsupp[tids].sum())
@@ -401,7 +485,9 @@ def genome_coverage_named(sources, genomes_and_contigs, taker, estimators,
                           threads: int = 1, layout_cache=None):
     """`coverm genome` with a contig->genome map (genome.rs:17-322)."""
     reads_mapped_vector = []
-    need_hist = any_needs_hist(estimators)
+    has_pileup = any(isinstance(e, PileupCountsEstimator) for e in estimators)
+    need_hist = (any_needs_hist(estimators) if has_pileup
+                 else any_needs_hist_batch(estimators))
     ee = _exclusion_of(estimators)
     start_transfer_warmup()
     layout_for_fn = lambda header: _layout_for(header, ee, layout_cache)
@@ -424,26 +510,46 @@ def genome_coverage_named(sources, genomes_and_contigs, taker, estimators,
 
         num_mapped_total = 0
         no_primary = scan.num_detected_primary_alignments == 0 and not scan.observed.any()
+        n_genomes = len(genomes_and_contigs.genomes)
+        cov_matrix = None
+        if not has_pileup and not no_primary:
+            bs = _genome_batch_stats(scan, layout, genome_of_tid, n_genomes,
+                                     scan.reads_all,
+                                     scan.identity_sum_nonsupp)
+            cov_matrix = np.stack(
+                [e.calculate_batch(bs) for e in estimators])
+            # per-genome totals for the zero-entry length / read counts
+            genome_len = bs.total_bases_full + bs.unobserved_full_bases
+            genome_reads = np.zeros(n_genomes, dtype=np.int64)
+            np.add.at(genome_reads, genome_of_tid[genome_of_tid >= 0],
+                      scan.reads_all[genome_of_tid >= 0])
         for gi, genome in enumerate(genomes_and_contigs.genomes):
             if no_primary:
                 break
-            tids = np.flatnonzero(genome_of_tid == gi)
-            obs = tids[scan.observed[tids]]
-            unobs = tids[~scan.observed[tids]]
-            st = _entity_stats(scan, layout, obs, unobs, scan.reads_all,
-                               scan.identity_sum_nonsupp)
-            coverages = [e.calculate(st) for e in estimators]
+            if cov_matrix is not None:
+                st = None
+                coverages = list(cov_matrix[:, gi])
+                zero_len = int(genome_len[gi])
+                g_reads = int(genome_reads[gi])
+            else:
+                tids = np.flatnonzero(genome_of_tid == gi)
+                obs = tids[scan.observed[tids]]
+                unobs = tids[~scan.observed[tids]]
+                st = _entity_stats(scan, layout, obs, unobs, scan.reads_all,
+                                   scan.identity_sum_nonsupp)
+                coverages = [e.calculate(st) for e in estimators]
+                zero_len = int(layout.lengths[tids].sum())
+                g_reads = int(scan.reads_all[tids].sum())
             nonzero = any(c > 0.0 for c in coverages)
             if nonzero:
-                num_mapped_total += int(scan.reads_all[tids].sum())
+                num_mapped_total += g_reads
             if print_zero_coverage_genomes or nonzero:
                 taker.start_entry(gi, genome)
                 for est, cov in zip(estimators, coverages):
                     if cov > 0.0:
                         _emit_entry(taker, [est], [cov], [st])
                     else:
-                        _emit_zero_entry(taker, [est],
-                                         int(layout.lengths[tids].sum()))
+                        _emit_zero_entry(taker, [est], zero_len)
                 taker.finish_entry()
 
         rm = ReadsMapped(
