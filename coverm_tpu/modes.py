@@ -232,34 +232,13 @@ def _prefetched(sources):
     """Overlap host BAM decode of sample i+1 with compute of sample i
     (the pipeline-parallelism analogue of the reference's
     mapper|sort|scan subprocess overlap, SURVEY.md §2.3)."""
-    import queue
-    import threading
+    from .prefetch import prefetch_iter
 
     if len(sources) <= 1:
         for s in sources:
             yield s, s.read()
         return
-    q = queue.Queue(maxsize=1)
-
-    def worker():
-        for s in sources:
-            try:
-                q.put((s, s.read(), None))
-            except BaseException as e:  # surface errors in the main thread
-                q.put((s, None, e))
-                return
-        q.put(None)
-
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is None:
-            return
-        s, hb, err = item
-        if err is not None:
-            raise err
-        yield s, hb
+    yield from prefetch_iter((s, s.read()) for s in sources)
 
 
 def _emit_entry(taker, estimators, coverages, stats_list):

@@ -73,30 +73,31 @@ def _bucket(n: int, minimum: int = 1024) -> int:
     return b
 
 
-_warmup_thread = None
+_warmup_ref = None
 
 
 def start_transfer_warmup():
     """Kick the device->host data plane in the background.
 
     On the tunnelled axon TPU backend the *first* device->host transfer of
-    a process pays a ~200s one-time channel setup.  Starting it on a daemon
-    thread lets it overlap with host-side BAM decode instead of blocking
-    the first result fetch.  Harmless (a 4-byte copy) everywhere else.
+    a process pays a ~200s one-time channel setup.  Starting it with the
+    runtime's own async D2H path (``copy_to_host_async``) lets it overlap
+    with host-side BAM decode instead of blocking the first result fetch.
+    Harmless (a 4-byte copy) everywhere else.  Deliberately NOT a Python
+    daemon thread: on CPython 3.12 a daemon thread reacquiring the GIL
+    after a long native transfer during interpreter finalisation is
+    killed via pthread_exit, whose forced unwind aborts inside the
+    runtime's C++ frames ("FATAL: exception not rethrown").
     """
-    global _warmup_thread
-    if _warmup_thread is not None:
+    global _warmup_ref
+    if _warmup_ref is not None:
         return
-    import threading
-
-    def _kick():
-        try:
-            jax.device_get(jnp.zeros((), jnp.int32))
-        except Exception:
-            pass
-
-    _warmup_thread = threading.Thread(target=_kick, daemon=True)
-    _warmup_thread.start()
+    try:
+        x = jnp.zeros((), jnp.int32)
+        x.copy_to_host_async()
+        _warmup_ref = x
+    except Exception:
+        _warmup_ref = False
 
 
 @dataclass

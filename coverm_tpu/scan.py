@@ -178,31 +178,11 @@ def scan_sample_batches(header: BamHeader, batches, layout: ReferenceLayout,
     """Streaming scan: per-batch scans merged by addition, with the next
     batch decoding on a thread while the device works on the current one
     (the batch-level analogue of modes._prefetched)."""
-    import queue
-    import threading
-
-    q = queue.Queue(maxsize=1)
-
-    def feeder():
-        try:
-            for b in batches:
-                q.put((b, None))
-            q.put(None)
-        except BaseException as e:
-            q.put((None, e))
-
-    t = threading.Thread(target=feeder, daemon=True)
-    t.start()
+    from .prefetch import prefetch_iter
 
     agg = None
     last_max_tid = -1
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        batch, err = item
-        if err is not None:
-            raise err
+    for batch in prefetch_iter(batches):
         mapped_tids = batch.tid[~batch.is_unmapped()]
         if mapped_tids.size:
             if int(mapped_tids[0]) < last_max_tid:
