@@ -72,7 +72,9 @@ def _local_depth_stats(idx, val, pos_seg, window, valid, n_seg):
     sum_w = jax.lax.psum(sum_w, "pos")
     cov_w = jax.lax.psum(cov_w, "pos")
     cov_f = jax.lax.psum(cov_f, "pos")
-    max_w = jax.lax.pmax(max_w, "pos")
+    # max_w stays per-shard: the axon AOT compile helper only lowers Sum
+    # all-reduces, so the max-merge happens outside the shard_map (each
+    # shard contributes its local segment max via the output layout)
     return sum_w, cov_w.astype(jnp.int64), cov_f.astype(jnp.int64), max_w
 
 
@@ -92,9 +94,12 @@ def sharded_depth_step(idx, val, pos_seg, window, valid, n_seg, mesh):
         mesh=mesh,
         in_specs=(P("dp", "pos"), P("dp", "pos"), P("pos"), P("pos"),
                   P("pos"), None),
-        out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp"), P("dp"), P("dp", "pos")),
     )
-    return fn(idx, val, pos_seg, window, valid, n_seg)
+    sum_w, cov_w, cov_f, max_w = fn(idx, val, pos_seg, window, valid, n_seg)
+    n_pos = mesh.devices.shape[1]
+    max_w = jnp.max(max_w.reshape(max_w.shape[0], n_pos, -1), axis=1)
+    return sum_w, cov_w, cov_f, max_w
 
 
 def route_scatter_points(idx, val, P_total, n_pos_shards, pad_to=None):
