@@ -53,8 +53,8 @@ def parse_percentage(value: float, name: str) -> float:
 
 
 def add_read_args(p):
-    p.add_argument("-1", dest="read1", nargs="+", default=None)
-    p.add_argument("-2", dest="read2", nargs="+", default=None)
+    p.add_argument("-1", "--read1", dest="read1", nargs="+", default=None)
+    p.add_argument("-2", "--read2", dest="read2", nargs="+", default=None)
     p.add_argument("-c", "--coupled", nargs="+", default=None)
     p.add_argument("--interleaved", nargs="+", default=None)
     p.add_argument("--single", nargs="+", default=None)
@@ -64,7 +64,9 @@ def add_read_args(p):
     p.add_argument("--minimap2-params", default=None)
     p.add_argument("--minimap2-reference-is-index", action="store_true")
     p.add_argument("--bwa-params", default=None)
+    p.add_argument("--minibwa-params", default=None)
     p.add_argument("--strobealign-params", default=None)
+    p.add_argument("--strobealign-use-index", action="store_true")
     p.add_argument("--rammap-params", default=None)
 
 
@@ -101,6 +103,10 @@ def add_coverage_args(p, genome_mode: bool):
     p.add_argument("--bam-file-cache-directory",
                    "--cache-unfiltered-bam-directory",
                    dest="bam_file_cache_directory", default=None)
+    p.add_argument("--cache-unfiltered-bam-files", nargs="+", default=None,
+                   help="Explicit cache BAM paths, one per read set, ordered "
+                        "single(-s)/-1 -2/--coupled/--interleaved "
+                        "(cli.rs:1026, coverm.rs:1942-1988)")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("-q", "--quiet", action="store_true")
     p.add_argument("--gff", default=None)
@@ -143,6 +149,20 @@ def add_dereplication_args(p, prefix=""):
                    dest=f"{d}output_representative_list", default=None)
     p.add_argument(f"--{prefix}reference-genomes",
                    dest=f"{d}reference_genomes", nargs="+", default=None)
+    p.add_argument(f"--{prefix}reference-genomes-list",
+                   dest=f"{d}reference_genomes_list", default=None)
+    # galah sketch-granularity knobs (cli.rs:1420-1446); here they tune
+    # the FracMinHash sketch density (smaller scale = denser sketch)
+    p.add_argument(f"--{prefix}small-genomes", dest=f"{d}small_genomes",
+                   action="store_true")
+    p.add_argument(f"--{prefix}small-contigs", dest=f"{d}small_contigs",
+                   action="store_true")
+    p.add_argument(f"--{prefix}large-contigs", dest=f"{d}large_contigs",
+                   action="store_true")
+    p.add_argument(f"--{prefix}cluster-contigs", dest=f"{d}cluster_contigs",
+                   action="store_true")
+    p.add_argument(f"--{prefix}low-memory", dest=f"{d}low_memory",
+                   action="store_true")
 
 
 def add_checkm_args(p):
@@ -151,6 +171,10 @@ def add_checkm_args(p):
     p.add_argument("--genome-info", default=None)
     p.add_argument("--min-completeness", type=float, default=None)
     p.add_argument("--max-contamination", type=float, default=None)
+    # run CheckM2 ourselves instead of taking a pre-made table
+    # (galah bridge names, cli.rs:41-42 — unprefixed in every mode)
+    p.add_argument("--run-checkm2", action="store_true")
+    p.add_argument("--checkm2-db-path", default=None)
 
 
 def build_parser():
@@ -223,6 +247,20 @@ def build_parser():
     sc.add_argument("--shell", required=True)
     sc.add_argument("-o", "--output-file", required=True)
 
+    parser._subparser_map = {"genome": g, "contig": c, "filter": f,
+                             "make": mk, "makedb": mdb, "cluster": cl,
+                             "shell-completion": sc}
+    descriptions = {
+        "genome": "Calculate read coverage per genome",
+        "contig": "Calculate read coverage per contig",
+        "filter": "Remove alignments with insufficient identity",
+        "make": "Generate BAM files through mapping",
+        "makedb": "Generate a mapper database from genome FASTA files",
+        "cluster": "Dereplicate and get representative genomes",
+        "shell-completion": "Generate a shell completion script",
+    }
+    for name, subp in parser._subparser_map.items():
+        subp.description = subp.description or descriptions[name]
     return parser
 
 
@@ -371,7 +409,18 @@ def filter_params_from_args(args) -> FilterParams:
 
 
 def main(argv=None):
+    import sys
+    argv = list(sys.argv[1:] if argv is None else argv)
     parser = build_parser()
+    # --full-help/--full-help-roff: man-page output per subcommand
+    # (cli.rs:858-1366), intercepted pre-parse so required flags are moot
+    if argv and argv[0] in parser._subparser_map and (
+            "--full-help" in argv or "--full-help-roff" in argv):
+        from .manpage import render_roff, render_text
+        subp = parser._subparser_map[argv[0]]
+        render = render_roff if "--full-help-roff" in argv else render_text
+        print(render(subp, argv[0]))
+        return 0
     args = parser.parse_args(argv)
     if args.subcommand is None:
         parser.print_help()

@@ -146,24 +146,19 @@ def parse_separator(args):
 def checkm_filter_genomes(args, genome_fasta_files):
     """CheckM quality pre-filter (resolve_and_checkm_filter_genomes,
     coverm.rs:1143-1189)."""
-    from .derep import (read_checkm2_quality_report, read_checkm_tab_table,
-                        read_genome_info)
+    from .derep import resolve_quality
     from .genome_parsing import genome_name_from_path
     min_comp = getattr(args, "min_completeness", None)
     max_cont = getattr(args, "max_contamination", None)
     if min_comp is None and max_cont is None:
         return genome_fasta_files
-    quality = {}
-    if getattr(args, "checkm_tab_table", None):
-        quality.update(read_checkm_tab_table(args.checkm_tab_table))
-    if getattr(args, "checkm2_quality_report", None):
-        quality.update(read_checkm2_quality_report(args.checkm2_quality_report))
-    if getattr(args, "genome_info", None):
-        quality.update(read_genome_info(args.genome_info))
+    quality = resolve_quality(args, genome_fasta_files,
+                              threads=getattr(args, "threads", 1))
     if not quality:
         raise SystemExit(
-            "--min-completeness/--max-contamination require a CheckM table "
-            "(--checkm-tab-table, --checkm2-quality-report or --genome-info)")
+            "You must provide a CheckM tab table, CheckM2 quality report, "
+            "genome info file, or use --run-checkm2 to use "
+            "--min-completeness or --max-contamination")
     out = []
     for g in genome_fasta_files:
         q = quality.get(genome_name_from_path(g))

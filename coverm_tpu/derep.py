@@ -211,9 +211,34 @@ class Clusterer:
         return clusters
 
 
-def dereplicate(args, genome_fasta_files):
-    """--dereplicate flow (coverm.rs:1044-1133): cluster, write outputs,
-    return representative paths."""
+def run_checkm2(genome_fasta_files, db_path=None, threads=1):
+    """--run-checkm2: predict genome qualities with an external `checkm2
+    predict` run instead of a pre-made table (galah bridge, cli.rs:41-42).
+    Returns a stem -> GenomeQuality dict."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    if shutil.which("checkm2") is None:
+        raise SystemExit(
+            "--run-checkm2 requires the checkm2 executable on $PATH")
+    with tempfile.TemporaryDirectory(prefix="coverm-tpu-checkm2") as td:
+        cmd = ["checkm2", "predict", "--input", *genome_fasta_files,
+               "--output-directory", os.path.join(td, "out"),
+               "--threads", str(threads), "--force"]
+        if db_path:
+            cmd += ["--database_path", db_path]
+        res = subprocess.run(cmd, capture_output=True, text=True)
+        if res.returncode != 0:
+            raise SystemExit(
+                f"checkm2 predict failed: {res.stderr[-2000:]}")
+        report = os.path.join(td, "out", "quality_report.tsv")
+        return read_checkm2_quality_report(report)
+
+
+def resolve_quality(args, genome_fasta_files, threads=1):
+    """Gather genome qualities from every provided source (tables and/or a
+    live CheckM2 run)."""
     quality = {}
     if getattr(args, "checkm_tab_table", None):
         quality.update(read_checkm_tab_table(args.checkm_tab_table))
@@ -221,8 +246,67 @@ def dereplicate(args, genome_fasta_files):
         quality.update(read_checkm2_quality_report(args.checkm2_quality_report))
     if getattr(args, "genome_info", None):
         quality.update(read_genome_info(args.genome_info))
+    if getattr(args, "run_checkm2", False):
+        quality.update(run_checkm2(
+            genome_fasta_files, getattr(args, "checkm2_db_path", None),
+            threads=threads))
+    return quality
+
+
+def _sketch_scale(args, prefix="dereplication_"):
+    """Sketch density from the galah granularity knobs: small genomes or
+    small contigs need denser sketches for stable Jaccard estimates;
+    large contigs can use sparser ones (cli.rs:1420-1446 analogues)."""
+    g = lambda k: getattr(args, prefix + k, False) or getattr(args, k, False)
+    if g("small_genomes") or g("small_contigs") or g("cluster_contigs"):
+        return 100
+    if g("large_contigs"):
+        return 2000
+    return 1000
+
+
+def _explode_contigs(genome_fasta_files):
+    """--dereplication-cluster-contigs: treat every contig as its own
+    clustering unit by writing one FASTA per contig into a tempdir (kept
+    alive for the process)."""
+    import tempfile
+
+    td = tempfile.mkdtemp(prefix="coverm-tpu-contigs")
+    _explode_contigs._keep.append(td)
+    from .genome_parsing import genome_name_from_path
+    out = []
+    for path in genome_fasta_files:
+        stem = genome_name_from_path(path)
+        for i, (header, seq) in enumerate(iter_fasta(path)):
+            name = header.split()[0]
+            safe = "".join(ch if ch.isalnum() or ch in "._-" else "_"
+                           for ch in name)
+            p = os.path.join(td, f"{stem}~{i}_{safe}.fna")
+            with open(p, "w") as f:
+                f.write(f">{name}\n{seq}\n")
+            out.append(p)
+    return out
+
+
+_explode_contigs._keep = []
+
+
+def dereplicate(args, genome_fasta_files):
+    """--dereplicate flow (coverm.rs:1044-1133): cluster, write outputs,
+    return representative paths."""
+    quality = resolve_quality(args, genome_fasta_files,
+                              threads=getattr(args, "threads", 1))
+
+    if (getattr(args, "dereplication_cluster_contigs", False)
+            or getattr(args, "cluster_contigs", False)):
+        genome_fasta_files = _explode_contigs(genome_fasta_files)
 
     refs = list(getattr(args, "dereplication_reference_genomes", None) or [])
+    ref_list = (getattr(args, "dereplication_reference_genomes_list", None)
+                or getattr(args, "reference_genomes_list", None))
+    if ref_list:
+        with open(ref_list) as f:
+            refs.extend(line.strip() for line in f if line.strip())
     combined = refs + [g for g in genome_fasta_files if g not in refs]
 
     clusterer = Clusterer(
@@ -236,6 +320,7 @@ def dereplicate(args, genome_fasta_files):
         or getattr(args, "quality_formula", None)
         or "completeness-4contamination",
         reference_genomes=refs or None,
+        scale=_sketch_scale(args),
     )
     clusters = clusterer.cluster()
     reps = [combined[c[0]] for c in clusters]

@@ -7,6 +7,7 @@ genome recovery possible, and implements `makedb`.
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 import subprocess
@@ -35,6 +36,14 @@ class MappingIndex:
 
     def cleanup(self):
         pass
+
+
+class PregeneratedStrobealignIndex(MappingIndex):
+    """--strobealign-use-index: map against a pre-built .sti index next to
+    the reference (mapping_index_maintenance.rs:704-722)."""
+
+    def command_prefix(self) -> str:
+        return "--use-index "
 
 
 class TemporaryIndex(MappingIndex):
@@ -88,11 +97,19 @@ def build_index_command(mapping_program: str, reference: str,
 
 
 def setup_mapping_index(reference: str, mapping_program: str,
-                        reference_is_index=False, threads: int = 1) -> MappingIndex:
+                        reference_is_index=False, threads: int = 1,
+                        strobealign_use_index=False) -> MappingIndex:
     """setup_mapping_index (coverm.rs:958-1039): use a pre-generated index
     when present, otherwise build a temporary one (BWA-family) or map
     directly against the FASTA (minimap2/strobealign/rammap)."""
     check_reference_existence(reference, mapping_program)
+    if mapping_program == "strobealign" and strobealign_use_index:
+        logging.warning(
+            "Strobealign uses mapping parameters defined when the index was "
+            "created, not parameters defined when mapping. Proceeding on the "
+            "assumption that you passed the correct parameters when creating "
+            "the strobealign index.")
+        return PregeneratedStrobealignIndex(reference)
     if mapping_program.startswith("bwa-mem2"):
         if _has_bwa_index(reference, BWA_MEM2_SUFFIXES):
             return MappingIndex(reference)

@@ -70,7 +70,9 @@ class MappingParameters:
         if mapper.startswith("minimap2") or mapper.startswith("rammap"):
             mapping_options = args.minimap2_params if mapper.startswith(
                 "minimap2") else args.rammap_params
-        elif mapper.startswith("bwa") or mapper == "minibwa":
+        elif mapper == "minibwa":
+            mapping_options = getattr(args, "minibwa_params", None)
+        elif mapper.startswith("bwa"):
             mapping_options = args.bwa_params
         elif mapper == "strobealign":
             mapping_options = args.strobealign_params

@@ -209,6 +209,37 @@ def _resolve_references(args):
     return refs, tempfiles
 
 
+def _cache_name_iter(args):
+    """--cache-unfiltered-bam-files: explicit cache paths, CLI order
+    single/-1/-coupled/--interleaved, consumed in job-emission order
+    (build_cache_name_iter, coverm.rs:1942-1988)."""
+    names = getattr(args, "cache_unfiltered_bam_files", None)
+    if not names:
+        return None
+    n_single = len(getattr(args, "single", None) or [])
+    n_read1 = len(getattr(args, "read1", None) or [])
+    n_coupled = len(getattr(args, "coupled", None) or []) // 2
+    n_inter = len(getattr(args, "interleaved", None) or [])
+    expected = n_single + n_read1 + n_coupled + n_inter
+    if len(names) != expected:
+        raise SystemExit(
+            f"--cache-unfiltered-bam-files specified {len(names)} names but "
+            f"{expected} read sets were provided")
+    i = n_single
+    single = names[:n_single]
+    read1 = names[i:i + n_read1]
+    i += n_read1
+    coupled = names[i:i + n_coupled]
+    i += n_coupled
+    inter = names[i:i + n_inter]
+
+    def gen():
+        yield from read1 + coupled + inter + single
+        raise SystemExit("Not enough BAM file cache names specified")
+
+    return gen()
+
+
 def build_mapping_sources(args, filter_params, flag_filters):
     """get_streamed_bam_readers equivalent (coverm.rs:1788-1840)."""
     refs, tempfiles = _resolve_references(args)
@@ -219,13 +250,19 @@ def build_mapping_sources(args, filter_params, flag_filters):
     cache_dir = getattr(args, "bam_file_cache_directory", None)
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
+    cache_names = _cache_name_iter(args)
 
     sources = []
     for ref, jobs in params.references:
-        index = setup_mapping_index(ref, args.mapper, threads=args.threads)
+        index = setup_mapping_index(
+            ref, args.mapper, threads=args.threads,
+            strobealign_use_index=getattr(args, "strobealign_use_index",
+                                          False))
         for job in jobs:
             cached = None
-            if cache_dir:
+            if cache_names is not None:
+                cached = next(cache_names)
+            elif cache_dir:
                 cached = os.path.join(
                     cache_dir,
                     os.path.basename(ref) + "." +

@@ -133,3 +133,60 @@ def test_contig_min_covered_fraction_percentage(ref_data, capsys):
         "2seqs.reads_for_seq1\tseq1\t0\n"
         "2seqs.reads_for_seq1\tseq2\t0\n"
     )
+
+
+def test_full_help_and_roff(capsys):
+    assert main(["genome", "--full-help"]) == 0
+    out = capsys.readouterr().out
+    assert "--strobealign-use-index" in out
+    assert "--dereplication-low-memory" in out
+    assert main(["contig", "--full-help-roff"]) == 0
+    roff = capsys.readouterr().out
+    assert roff.startswith('.TH "COVERM-TPU CONTIG"')
+    assert "min\\-covered\\-fraction" in roff
+
+
+def test_cache_unfiltered_bam_files_validation():
+    import argparse
+    from coverm_tpu.mapping.pipeline import _cache_name_iter
+    ns = argparse.Namespace(
+        cache_unfiltered_bam_files=["s.bam", "p.bam", "c.bam", "i.bam"],
+        single=["s.fq"], read1=["r1.fq"], read2=["r2.fq"],
+        coupled=["c1.fq", "c2.fq"], interleaved=["i.fq"])
+    it = _cache_name_iter(ns)
+    # job-emission order: -1/-2, coupled, interleaved, single
+    # (coverm.rs:1978-1983)
+    assert [next(it) for _ in range(4)] == ["p.bam", "c.bam", "i.bam", "s.bam"]
+    import pytest
+    with pytest.raises(SystemExit):
+        next(it)  # exhausted
+    ns.cache_unfiltered_bam_files = ["only-one.bam"]
+    with pytest.raises(SystemExit):
+        _cache_name_iter(ns)
+
+
+def test_strobealign_use_index_prefix(tmp_path):
+    from coverm_tpu.mapping.index import setup_mapping_index
+    ref = tmp_path / "ref.fna"
+    ref.write_text(">c1\nACGT\n")
+    idx = setup_mapping_index(str(ref), "strobealign",
+                              strobealign_use_index=True)
+    assert idx.command_prefix() == "--use-index "
+    plain = setup_mapping_index(str(ref), "strobealign")
+    assert plain.command_prefix() == ""
+
+
+def test_minibwa_params_routing(tmp_path):
+    import argparse
+    from coverm_tpu.mapping.params import MappingParameters
+    base = dict(read1=["r1.fq"], read2=["r2.fq"], interleaved=None,
+                single=None, coupled=None, threads=1,
+                minimap2_params=None, bwa_params="-k 11",
+                minibwa_params="-k 22", strobealign_params=None,
+                rammap_params=None)
+    p = MappingParameters.generate_from_args(
+        argparse.Namespace(mapper="minibwa", **base), ["ref.fna"])
+    assert p.references[0][1][0].mapping_options == "-k 22"
+    p = MappingParameters.generate_from_args(
+        argparse.Namespace(mapper="bwa-mem", **base), ["ref.fna"])
+    assert p.references[0][1][0].mapping_options == "-k 11"

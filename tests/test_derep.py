@@ -75,3 +75,39 @@ def test_quality_table_orders_representatives(genome_trio, tmp_path):
     clusters = Clusterer([ga, gb, gc], ani=95.0, quality=quality).cluster()
     rep_of_pair = [c[0] for c in clusters if len(c) == 2][0]
     assert rep_of_pair == 1  # gb wins on quality
+
+
+def test_cluster_contigs_explodes_units(genome_trio, tmp_path, capsys):
+    ga, gb, gc = genome_trio
+    out_def = tmp_path / "clusters.tsv"
+    rc = main(["cluster", "-f", ga, gb, gc, "--ani", "95",
+               "--cluster-contigs",
+               "--output-cluster-definition", str(out_def)])
+    assert rc == 0
+    rows = [l.split("\t") for l in out_def.read_text().strip().split("\n")]
+    # one unit per contig (each trio genome has one contig)
+    assert len(rows) == 3
+    assert all(r[1].endswith(".fna") for r in rows)
+
+
+def test_reference_genomes_list(genome_trio, tmp_path):
+    ga, gb, gc = genome_trio
+    lst = tmp_path / "refs.txt"
+    lst.write_text(gb + "\n")
+    import argparse
+    args = argparse.Namespace(dereplication_reference_genomes_list=str(lst),
+                              dereplication_ani=95.0, threads=1)
+    from coverm_tpu.derep import dereplicate
+    reps = dereplicate(args, [ga, gb, gc])
+    # gb is a fixed representative, claims ga; gc is its own cluster
+    assert gb in reps and ga not in reps and len(reps) == 2
+
+
+def test_sketch_scale_knobs():
+    import argparse
+    from coverm_tpu.derep import _sketch_scale
+    mk = lambda **kw: argparse.Namespace(**kw)
+    assert _sketch_scale(mk()) == 1000
+    assert _sketch_scale(mk(dereplication_small_genomes=True)) == 100
+    assert _sketch_scale(mk(cluster_contigs=True)) == 100
+    assert _sketch_scale(mk(dereplication_large_contigs=True)) == 2000

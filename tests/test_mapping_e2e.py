@@ -291,3 +291,18 @@ def test_sharded_mapping_from_reads(fake_mappers, tmp_path, capsys):
     rows = {l.split("\t")[1]: l.split("\t")[2] for l in lines[1:]}
     # pA (2 reads) + tied pT (2 reads, first shard wins) on cA; pB on cB
     assert rows == {"cA": "4", "cB": "2"}
+
+
+def test_cache_unfiltered_bam_files_e2e(fake_mappers, simple_ref, tmp_path,
+                                        capsys):
+    ref, reads, _ = simple_ref
+    cache = tmp_path / "explicit_cache.bam"
+    out = run_cli([
+        "contig", "-r", str(ref), "--single", str(reads),
+        "-p", "minimap2-sr", "--contig-end-exclusion", "0",
+        "--output-format", "sparse",
+        "--cache-unfiltered-bam-files", str(cache),
+    ], capsys)
+    assert out.endswith("ref.fna/reads.fq\tc1\t1.5\n")
+    r = BamReader(str(cache))
+    assert r.batch.n_records == 3
