@@ -86,8 +86,16 @@ def add_filter_thresholds(p):
 def add_coverage_args(p, genome_mode: bool):
     default_method = "relative_abundance" if genome_mode else "mean"
     default_min_frac = "10" if genome_mode else "0"
+    # per-mode method value lists (cli.rs:2033-2047 genome has no
+    # metabat/strobealign-aemb; cli.rs:2505-2519 contig has no
+    # relative_abundance) — rejected at parse time
+    if genome_mode:
+        methods = [m for m in METHODS
+                   if m not in ("metabat", "strobealign-aemb")]
+    else:
+        methods = [m for m in METHODS if m != "relative_abundance"]
     p.add_argument("-m", "--methods", nargs="+", default=[default_method],
-                   choices=METHODS)
+                   choices=methods)
     p.add_argument("--min-covered-fraction", type=float,
                    default=float(default_min_frac))
     p.add_argument("--contig-end-exclusion", type=int, default=75)
@@ -229,10 +237,17 @@ def build_parser():
     mdb.add_argument("-f", "--genome-fasta-files", nargs="+", default=None)
     mdb.add_argument("-d", "--genome-fasta-directory", default=None)
     mdb.add_argument("-x", "--genome-fasta-extension", default="fna")
+    mdb.add_argument("--genome-fasta-list", default=None)
     mdb.add_argument("-o", "--output-directory", required=True)
     mdb.add_argument("-p", "--mapper", default="minimap2-sr",
                      choices=MAPPING_SOFTWARE_LIST)
     mdb.add_argument("-t", "--threads", type=int, default=1)
+    mdb.add_argument("-v", "--verbose", action="store_true")
+    mdb.add_argument("-q", "--quiet", action="store_true")
+    # optional dereplication before concatenation (coverm.rs:748-752)
+    mdb.add_argument("--dereplicate", action="store_true")
+    add_dereplication_args(mdb, prefix="dereplication-")
+    add_checkm_args(mdb)
 
     cl = sub.add_parser("cluster", help="Dereplicate and cluster genomes")
     cl.add_argument("-f", "--genome-fasta-files", nargs="+", default=None)

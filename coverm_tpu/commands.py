@@ -33,11 +33,10 @@ class FilteredBamFileSource(BamFileSource):
         self.num_primary_override = None
 
     def read(self):
-        header, batch = super().read()
-        self.num_primary_override = int(np.count_nonzero(batch.is_primary()))
-        keep, _ = apply_read_filter(batch, self.params, self.flag_filters,
-                                    filter_out=True)
-        return header, batch.select(keep)
+        from .readfilter import filter_payload
+        header, payload = super().read()
+        return header, filter_payload(self, payload, self.params,
+                                      self.flag_filters)
 
 
 def _build_sources(args):
@@ -73,16 +72,51 @@ def _build_sources(args):
 
 
 def _genome_exclusion_of(args):
-    """--exclude-genomes-from-deshard wiring (coverm.rs:96-156)."""
-    from .genome_exclusion import (NoExclusionGenomeFilter,
+    """--exclude-genomes-from-deshard wiring (coverm.rs:96-156): with a
+    separator use name-prefix exclusion; with genome FASTAs/definition
+    use the (pre-dereplication) contig->genome map."""
+    import logging
+
+    from .genome_exclusion import (GenomesAndContigsExclusionFilter,
+                                   NoExclusionGenomeFilter,
                                    SeparatorGenomeExclusionFilter)
     path = getattr(args, "exclude_genomes_from_deshard", None)
     if not path:
         return NoExclusionGenomeFilter()
-    with open(path) as f:
-        genomes = [l.strip() for l in f if l.strip()]
-    sep = getattr(args, "separator", None) or CONCATENATED_FASTA_FILE_SEPARATOR
-    return SeparatorGenomeExclusionFilter(genomes, sep)
+    try:
+        with open(path) as f:
+            genomes = [l.strip() for l in f if l.strip()]
+    except OSError:
+        raise SystemExit(
+            f"Failed to open file '{path}' containing list of excluded "
+            "genomes")
+    if not genomes:
+        logging.warning(
+            "No genomes read in that are to be excluded from desharding "
+            "process")
+        return NoExclusionGenomeFilter()
+    logging.info(
+        "Read in %d distinct genomes to exclude from desharding process "
+        "e.g. '%s'", len(set(genomes)), genomes[0])
+    separator = parse_separator(args) if hasattr(args, "single_genome") \
+        else getattr(args, "separator", None)
+    if separator is not None:
+        return SeparatorGenomeExclusionFilter(genomes, separator)
+    gc = getattr(args, "_predereplication_genomes_and_contigs", None)
+    if gc is None:
+        files = getattr(args, "_predereplication_genome_files", None) or \
+            parse_list_of_genome_fasta_files(args)
+        if files:
+            gc = read_genome_fasta_files(
+                files, getattr(args, "use_full_contig_names", False))
+        elif getattr(args, "genome_definition", None):
+            gc = read_genome_definition_file(args.genome_definition)
+    if gc is None:
+        # no genome metadata at all: fall back to the concatenated-FASTA
+        # separator convention
+        return SeparatorGenomeExclusionFilter(
+            genomes, CONCATENATED_FASTA_FILE_SEPARATOR)
+    return GenomesAndContigsExclusionFilter(gc, genomes)
 
 
 def run_contig(args):
@@ -181,6 +215,9 @@ def run_genome(args):
     genome_fasta_files = parse_list_of_genome_fasta_files(args)
     if genome_fasta_files:
         genome_fasta_files = checkm_filter_genomes(args, genome_fasta_files)
+        # deshard exclusion uses the PRE-dereplication genome set
+        # (genomes_and_contigs_option_predereplication, coverm.rs:136-146)
+        args._predereplication_genome_files = list(genome_fasta_files)
         if getattr(args, "dereplicate", False):
             from .derep import dereplicate
             genome_fasta_files = dereplicate(args, genome_fasta_files)
@@ -309,24 +346,105 @@ def run_cluster(args):
     return 0
 
 
+def _completion_flag_map():
+    """Per-subcommand long/short option strings, straight from the
+    argparse definitions (the analogue of clap_complete generating from
+    build_cli(), coverm.rs:907-920)."""
+    from .cli import build_parser
+    parser = build_parser()
+    out = {}
+    for name, subp in parser._subparser_map.items():
+        flags = []
+        for action in subp._actions:
+            flags.extend(action.option_strings)
+        out[name] = flags
+    return out
+
+
 def run_shell_completion(args):
-    """Generate a static completion script for the given shell."""
-    from .cli import METHODS, MAPPING_SOFTWARE_LIST
-    subcommands = ["genome", "contig", "filter", "make", "makedb", "cluster",
-                   "shell-completion"]
+    """Generate a completion script for the given shell — the same five
+    shells clap_complete supports (coverm.rs:907-920)."""
+    prog = "coverm-tpu"
+    flag_map = _completion_flag_map()
+    subcommands = list(flag_map)
+
     if args.shell == "bash":
+        cases = "\n".join(
+            f"    {name})\n"
+            f"      COMPREPLY=( $(compgen -W \"{' '.join(flags)}\" -- \"$cur\") )\n"
+            "      ;;"
+            for name, flags in flag_map.items())
         script = (
             "_coverm_tpu() {\n"
             "  local cur=${COMP_WORDS[COMP_CWORD]}\n"
+            "  local sub=${COMP_WORDS[1]}\n"
             "  if [ $COMP_CWORD -eq 1 ]; then\n"
-            f"    COMPREPLY=( $(compgen -W \"{' '.join(subcommands)}\" -- $cur) )\n"
+            f"    COMPREPLY=( $(compgen -W \"{' '.join(subcommands)}\" -- \"$cur\") )\n"
+            "    return\n"
             "  fi\n"
+            "  case \"$sub\" in\n"
+            f"{cases}\n"
+            "  esac\n"
             "}\n"
-            "complete -o default -F _coverm_tpu coverm-tpu\n")
+            f"complete -o default -F _coverm_tpu {prog}\n")
     elif args.shell == "zsh":
+        cases = "\n".join(
+            f"    {name}) _arguments '*: :({' '.join(flags)})' '*: :_files' ;;"
+            for name, flags in flag_map.items())
         script = (
-            "#compdef coverm-tpu\n"
-            f"_arguments '1: :({' '.join(subcommands)})' '*: :_files'\n")
+            f"#compdef {prog}\n"
+            "if (( CURRENT == 2 )); then\n"
+            f"  _arguments '1: :({' '.join(subcommands)})'\n"
+            "else\n"
+            "  case $words[2] in\n"
+            f"{cases}\n"
+            "  esac\n"
+            "fi\n")
+    elif args.shell == "fish":
+        lines = [f"complete -c {prog} -n '__fish_use_subcommand' -a '{name}'"
+                 for name in subcommands]
+        for name, flags in flag_map.items():
+            for fl in flags:
+                if fl.startswith("--"):
+                    lines.append(
+                        f"complete -c {prog} -n '__fish_seen_subcommand_from "
+                        f"{name}' -l {fl[2:]}")
+                elif len(fl) == 2:
+                    lines.append(
+                        f"complete -c {prog} -n '__fish_seen_subcommand_from "
+                        f"{name}' -s {fl[1:]}")
+        script = "\n".join(lines) + "\n"
+    elif args.shell == "powershell":
+        def ps_list(items):
+            return ", ".join(f"'{x}'" for x in items)
+        entries = "\n".join(
+            f"        '{name}' {{ @({ps_list(flags)}) }}"
+            for name, flags in flag_map.items())
+        script = (
+            f"Register-ArgumentCompleter -Native -CommandName {prog} "
+            "-ScriptBlock {\n"
+            "    param($wordToComplete, $commandAst, $cursorPosition)\n"
+            "    $words = $commandAst.CommandElements | "
+            "ForEach-Object { $_.ToString() }\n"
+            "    $completions = if ($words.Count -le 2) {\n"
+            f"        @({ps_list(subcommands)})\n"
+            "    } else { switch ($words[1]) {\n"
+            f"{entries}\n"
+            "    } }\n"
+            "    $completions | Where-Object { $_ -like \"$wordToComplete*\" } |\n"
+            "        ForEach-Object { [System.Management.Automation."
+            "CompletionResult]::new($_, $_, 'ParameterValue', $_) }\n"
+            "}\n")
+    elif args.shell == "elvish":
+        all_flags = sorted({f for fl in flag_map.values() for f in fl})
+        script = (
+            f"set edit:completion:arg-completer[{prog}] = {{|@words|\n"
+            "  if (== (count $words) 2) {\n"
+            f"    put {' '.join(subcommands)}\n"
+            "  } else {\n"
+            f"    put {' '.join(all_flags)}\n"
+            "  }\n"
+            "}\n")
     else:
         raise SystemExit(f"Unsupported shell: {args.shell}")
     with open(args.output_file, "w") as f:

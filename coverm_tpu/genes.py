@@ -176,17 +176,107 @@ def _clip_blocks_to_genes(btids, bstarts, bends, gene_tid, gene_start, gene_end)
             e[keep] - gene_start[gp])
 
 
+class _GeneAccum:
+    """Per-gene accumulators merged additively across streamed batches.
+
+    Batches are cut at contig boundaries (io/bam.py BamStreamReader), and
+    every gene lies inside one contig, so each gene's events land in
+    exactly one batch — plain addition is exact for every statistic,
+    including the coverage histogram."""
+
+    def __init__(self, n_genes):
+        z = lambda: np.zeros(n_genes, dtype=np.int64)
+        self.sum_depth_window = z()
+        self.covered_window = z()
+        self.covered_full = z()
+        self.hist = None
+        self.reads = z()
+        self.mismatches = z()
+        self.sum_identity = np.zeros(n_genes, dtype=np.float64)
+
+    def add_depth(self, depth):
+        self.sum_depth_window += depth.sum_depth_window
+        self.covered_window += depth.covered_window
+        self.covered_full += depth.covered_full
+        if depth.hist is not None:
+            if self.hist is None:
+                self.hist = depth.hist.astype(np.int64, copy=True)
+            else:
+                wa, wb = self.hist.shape[1], depth.hist.shape[1]
+                if wb > wa:
+                    grown = np.zeros((self.hist.shape[0], wb), np.int64)
+                    grown[:, :wa] = self.hist
+                    self.hist = grown
+                self.hist[:, :wb] += depth.hist
+
+
+def _scan_gene_batch(batch, flag_filter, acc, vlayout, need_hist,
+                     gene_tid, gene_start, gene_end, observed_contig,
+                     last_max_tid):
+    """One RecordBatch's contribution to the per-gene accumulators.
+    Returns (num_mapped_primary, num_primary, new_last_max_tid)."""
+    passes = flag_filter.passes(batch)
+    mapped = ~batch.is_unmapped()
+    use = passes & mapped
+    tids = batch.tid[use]
+    if tids.size:
+        if np.any(np.diff(tids) < 0) or int(tids[0]) < last_max_tid:
+            raise BamSortingError("BAM file appears to be unsorted.")
+        last_max_tid = max(last_max_tid, int(tids.max()))
+    if np.any(batch.nm[use] < 0):
+        raise MissingNMTagError(
+            "Mapping record encountered that does not have an 'NM' "
+            "auxiliary tag in the SAM/BAM format.")
+
+    buse = use[batch.block_read]
+    vg, vs, ve = _clip_blocks_to_genes(
+        batch.tid[batch.block_read[buse]].astype(np.int64),
+        batch.block_start[buse].astype(np.int64),
+        batch.block_end[buse].astype(np.int64),
+        gene_tid, gene_start, gene_end)
+    acc.add_depth(compute_depth_stats_sweep(vlayout, vg, vs, ve,
+                                            need_hist=need_hist))
+
+    # read-level prefix stats keyed by (tid, leftmost pos)
+    r_tid = batch.tid[use].astype(np.int64)
+    r_pos = batch.pos[use].astype(np.int64)
+    r_primary = batch.is_primary()[use].astype(np.int64)
+    r_mism = np.maximum(batch.nm[use] - batch.indels[use], 0)
+    aligned = batch.aligned_cov[use].astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r_ident = np.where((r_primary > 0) & (aligned > 0),
+                           (aligned - batch.nm[use]) / aligned, 0.0)
+    okey = np.lexsort((r_pos, r_tid))
+    r_tid, r_pos = r_tid[okey], r_pos[okey]
+    pp = np.concatenate(([0], np.cumsum(r_primary[okey])))
+    pm = np.concatenate(([0], np.cumsum(r_mism[okey])))
+    pi = np.concatenate(([0], np.cumsum(r_ident[okey])))
+    SHIFT = np.int64(1) << 33
+    rkey = r_tid * SHIFT + r_pos
+    glo = np.searchsorted(rkey, gene_tid * SHIFT + gene_start)
+    ghi = np.searchsorted(rkey, gene_tid * SHIFT + gene_end)
+    acc.reads += pp[ghi] - pp[glo]
+    acc.mismatches += pm[ghi] - pm[glo]
+    acc.sum_identity += pi[ghi] - pi[glo]
+
+    if tids.size:
+        observed_contig[np.unique(tids)] = True
+    num_mapped = int((batch.is_primary() & use).sum())
+    num_primary = int(np.count_nonzero(batch.is_primary()))
+    return num_mapped, num_primary, last_max_tid
+
+
 def gene_coverage(sources, taker, estimators, gene_definitions, genome_namer,
                   print_zero_coverage_genes, flag_filter: FlagFilter,
                   threads: int = 1):
     """`--gff` mode engine (genes.rs:182-344). Returns per-sample ReadsMapped."""
-    from .scan import scan_sample  # noqa: F401  (shared error types)
+    from .io.bam import RecordBatch
 
     reads_mapped_vector = []
     need_hist = any_needs_hist(estimators)
     ee = _exclusion_of(estimators)
     for source in sources:
-        header, batch = source.read()
+        header, payload = source.read()
         taker.start_stoit(source.name)
 
         per_tid = resolve_genes_against_header(
@@ -197,68 +287,37 @@ def gene_coverage(sources, taker, estimators, gene_definitions, genome_namer,
         gene_end = np.array([g.end for g in genes_flat], dtype=np.int64)
         gene_len = gene_end - gene_start
 
-        passes = flag_filter.passes(batch)
-        mapped = ~batch.is_unmapped()
-        use = passes & mapped
-        tids = batch.tid[use]
-        if tids.size and np.any(np.diff(tids) < 0):
-            raise BamSortingError("BAM file appears to be unsorted.")
-        if np.any(batch.nm[use] < 0):
-            raise MissingNMTagError(
-                "Mapping record encountered that does not have an 'NM' "
-                "auxiliary tag in the SAM/BAM format.")
-
         # virtual reference: one contig per gene
         vlayout = ReferenceLayout.build(gene_len, ee)
-        buse = use[batch.block_read]
-        vg, vs, ve = _clip_blocks_to_genes(
-            batch.tid[batch.block_read[buse]].astype(np.int64),
-            batch.block_start[buse].astype(np.int64),
-            batch.block_end[buse].astype(np.int64),
-            gene_tid, gene_start, gene_end)
-        depth = compute_depth_stats_sweep(vlayout, vg, vs, ve,
-                                          need_hist=need_hist)
-
-        # read-level prefix stats keyed by (tid, leftmost pos)
-        r_tid = batch.tid[use].astype(np.int64)
-        r_pos = batch.pos[use].astype(np.int64)
-        r_primary = batch.is_primary()[use].astype(np.int64)
-        r_mism = np.maximum(batch.nm[use] - batch.indels[use], 0)
-        aligned = batch.aligned_cov[use].astype(np.float64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            r_ident = np.where((r_primary > 0) & (aligned > 0),
-                               (aligned - batch.nm[use]) / aligned, 0.0)
-        okey = np.lexsort((r_pos, r_tid))
-        r_tid, r_pos = r_tid[okey], r_pos[okey]
-        pp = np.concatenate(([0], np.cumsum(r_primary[okey])))
-        pm = np.concatenate(([0], np.cumsum(r_mism[okey])))
-        pi = np.concatenate(([0], np.cumsum(r_ident[okey])))
-        SHIFT = np.int64(1) << 33
-        rkey = r_tid * SHIFT + r_pos
-        glo = np.searchsorted(rkey, gene_tid * SHIFT + gene_start)
-        ghi = np.searchsorted(rkey, gene_tid * SHIFT + gene_end)
-
+        acc = _GeneAccum(len(genes_flat))
         observed_contig = np.zeros(header.n_ref, dtype=bool)
-        if tids.size:
-            observed_contig[np.unique(tids)] = True
-
-        num_mapped_total = int((batch.is_primary() & use).sum())
+        num_mapped_total = 0
+        num_primary = 0
+        last_max_tid = -1
+        batches = [payload] if isinstance(payload, RecordBatch) else payload
+        for batch in batches:
+            nm_, np_, last_max_tid = _scan_gene_batch(
+                batch, flag_filter, acc, vlayout, need_hist,
+                gene_tid, gene_start, gene_end, observed_contig,
+                last_max_tid)
+            num_mapped_total += nm_
+            num_primary += np_
 
         for gi, g in enumerate(genes_flat):
             if observed_contig[g.tid]:
                 st = EntityStats()
                 ln = int(gene_len[gi])
-                st.total_count = int(depth.sum_depth_window[gi])
+                st.total_count = int(acc.sum_depth_window[gi])
                 st.total_bases_window = ln - 2 * ee if ln > 2 * ee else 0
-                st.covered_window = int(depth.covered_window[gi])
+                st.covered_window = int(acc.covered_window[gi])
                 st.total_bases_full = ln
-                st.covered_full = int(depth.covered_full[gi])
+                st.covered_full = int(acc.covered_full[gi])
                 st.observed_length_full = ln
-                st.reads = int(pp[ghi[gi]] - pp[glo[gi]])
-                st.mismatches = int(pm[ghi[gi]] - pm[glo[gi]])
-                st.sum_identity = float(pi[ghi[gi]] - pi[glo[gi]])
-                if depth.hist is not None:
-                    st.hist = depth.hist[gi]
+                st.reads = int(acc.reads[gi])
+                st.mismatches = int(acc.mismatches[gi])
+                st.sum_identity = float(acc.sum_identity[gi])
+                if acc.hist is not None:
+                    st.hist = acc.hist[gi]
                 st.unobserved_lengths = [0]
                 coverages = [e.calculate(st) for e in estimators]
                 nonzero = any(c > 0.0 for c in coverages)
@@ -273,8 +332,8 @@ def gene_coverage(sources, taker, estimators, gene_definitions, genome_namer,
                 taker.finish_entry()
 
         npo = getattr(source, "num_primary_override", None)
-        num_primary = npo if npo is not None else int(
-            np.count_nonzero(batch.is_primary()))
+        if npo is not None:
+            num_primary = npo
         reads_mapped_vector.append(ReadsMapped(
             num_mapped_reads=num_mapped_total, num_reads=num_primary))
         source.finish()

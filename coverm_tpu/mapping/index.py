@@ -98,10 +98,12 @@ def build_index_command(mapping_program: str, reference: str,
 
 def setup_mapping_index(reference: str, mapping_program: str,
                         reference_is_index=False, threads: int = 1,
-                        strobealign_use_index=False) -> MappingIndex:
-    """setup_mapping_index (coverm.rs:958-1039): use a pre-generated index
-    when present, otherwise build a temporary one (BWA-family) or map
-    directly against the FASTA (minimap2/strobealign/rammap)."""
+                        strobealign_use_index=False,
+                        n_readsets: int = 1) -> MappingIndex:
+    """setup_mapping_index (coverm.rs:958-1041): use a pre-generated index
+    when present, otherwise build a temporary one (BWA-family; minimap2
+    when one reference serves several read sets) or map directly against
+    the FASTA (strobealign/rammap/single-readset minimap2)."""
     check_reference_existence(reference, mapping_program)
     if mapping_program == "strobealign" and strobealign_use_index:
         logging.warning(
@@ -118,9 +120,38 @@ def setup_mapping_index(reference: str, mapping_program: str,
         if _has_bwa_index(reference, BWA_INDEX_SUFFIXES):
             return MappingIndex(reference)
         return _build_temporary_bwa_index(reference, mapping_program)
-    # minimap2/rammap/strobealign map directly against FASTA (or a
-    # pre-generated index file passed through)
+    if mapping_program.startswith("minimap2"):
+        # coverm.rs:984-1007: skip pre-indexing when the reference IS a
+        # .mmi (--minimap2-reference-is-index) or only one read set maps
+        # against it; otherwise pre-generate once and reuse
+        if reference_is_index or n_readsets <= 1:
+            logging.info("Not pre-generating minimap2 index")
+            if reference_is_index:
+                logging.warning(
+                    "Minimap2 uses mapping parameters defined when the index "
+                    "was created, not parameters defined when mapping. "
+                    "Proceeding on the assumption that you passed the correct "
+                    "parameters when creating the minimap2 index.")
+            return MappingIndex(reference)
+        return _build_temporary_minimap2_index(reference, mapping_program,
+                                               threads)
+    # rammap/strobealign map directly against the FASTA
     return MappingIndex(reference)
+
+
+def _build_temporary_minimap2_index(reference: str, mapping_program: str,
+                                    threads: int = 1):
+    """generate_minimap2_index (mapping_index_maintenance.rs:190-260)."""
+    check_mapper(mapping_program)
+    tempdir = tempfile.TemporaryDirectory(prefix="coverm-tpu-minimap2-index")
+    out = os.path.join(tempdir.name, os.path.basename(reference) + ".mmi")
+    cmd = build_index_command(mapping_program, reference, out)
+    cmd = cmd.replace("minimap2 ", f"minimap2 -t {threads} ", 1)
+    res = subprocess.run(["bash", "-c", cmd], capture_output=True, text=True)
+    if res.returncode != 0:
+        raise ExternalToolError(
+            f"Index building command '{cmd}' failed: {res.stderr}")
+    return TemporaryIndex(out, tempdir)
 
 
 def _build_temporary_bwa_index(reference: str, mapping_program: str):

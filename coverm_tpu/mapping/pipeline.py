@@ -256,8 +256,11 @@ def build_mapping_sources(args, filter_params, flag_filters):
     for ref, jobs in params.references:
         index = setup_mapping_index(
             ref, args.mapper, threads=args.threads,
+            reference_is_index=getattr(args, "minimap2_reference_is_index",
+                                       False),
             strobealign_use_index=getattr(args, "strobealign_use_index",
-                                          False))
+                                          False),
+            n_readsets=len(jobs))
         for job in jobs:
             cached = None
             if cache_names is not None:
@@ -289,8 +292,12 @@ def build_sharded_mapping_sources(args, filter_params, flag_filters,
     refs, _tempfiles = _resolve_references(args)
     params = MappingParameters.generate_from_args(args, refs)
     per_ref_jobs = [jobs for (_ref, jobs) in params.references]
-    indexes = [setup_mapping_index(ref, args.mapper, threads=args.threads)
-               for ref, _jobs in params.references]
+    indexes = [setup_mapping_index(
+        ref, args.mapper, threads=args.threads,
+        reference_is_index=getattr(args, "minimap2_reference_is_index",
+                                   False),
+        n_readsets=len(jobs))
+        for ref, jobs in params.references]
     n_sets = len(per_ref_jobs[0]) if per_ref_jobs else 0
     sources = []
     for k in range(n_sets):
@@ -319,12 +326,10 @@ class FilteredMappedSource:
         return self.inner.name
 
     def read(self):
-        from ..readfilter import apply_read_filter
-        header, batch = self.inner.read()
-        self.num_primary_override = int(np.count_nonzero(batch.is_primary()))
-        keep, _ = apply_read_filter(batch, self.params, self.flag_filters,
-                                    filter_out=True)
-        return header, batch.select(keep)
+        from ..readfilter import filter_payload
+        header, payload = self.inner.read()
+        return header, filter_payload(self, payload, self.params,
+                                      self.flag_filters)
 
     def finish(self):
         self.inner.finish()
@@ -338,7 +343,11 @@ def make_bams(args):
     refs, _tempfiles = _resolve_references(args)
     params = MappingParameters.generate_from_args(args, refs)
     for ref, jobs in params.references:
-        index = setup_mapping_index(ref, args.mapper, threads=args.threads)
+        index = setup_mapping_index(
+            ref, args.mapper, threads=args.threads,
+            reference_is_index=getattr(args, "minimap2_reference_is_index",
+                                       False),
+            n_readsets=len(jobs))
         for job in jobs:
             out_path = os.path.join(
                 out_dir,
@@ -359,14 +368,19 @@ def makedb(args):
     if args.reference:
         refs = list(args.reference)
     else:
-        from ..commands import parse_list_of_genome_fasta_files
+        from ..commands import (checkm_filter_genomes,
+                                parse_list_of_genome_fasta_files)
         genome_files = parse_list_of_genome_fasta_files(args)
         if not genome_files:
             raise SystemExit("makedb needs -r or genome FASTA files")
+        genome_files = checkm_filter_genomes(args, genome_files)
+        if getattr(args, "dereplicate", False):
+            from ..derep import dereplicate
+            genome_files = dereplicate(args, genome_files)
+        os.makedirs(args.output_directory, exist_ok=True)
         refs = [generate_concatenated_fasta_file(
             genome_files, os.path.join(args.output_directory,
-                                       "coverm-genomes.fna"))]
-        os.makedirs(args.output_directory, exist_ok=True)
+                                       "coverm_concatenated_genomes.fna"))]
     for ref in refs:
         out = generate_persistent_index(ref, args.mapper,
                                         args.output_directory, args.threads)

@@ -172,6 +172,37 @@ def apply_read_filter(batch: RecordBatch, params: FilterParams,
     return keep, order
 
 
+def filter_payload(source, payload, params: FilterParams,
+                   flag_filters: FlagFilter):
+    """Apply the read filter to a source payload — a whole RecordBatch or
+    a streaming batch iterator — updating ``source.num_primary_override``
+    as records are seen (the filtered reader counts primaries BEFORE
+    filtering, bam_generator.rs:630-646).
+
+    Streaming batches are cut at contig boundaries (BamStreamReader), so
+    same-contig mate pairing — the only kind the pair filter joins
+    (filter.rs:150-157 requires tid == mtid) — never spans batches.
+    """
+    if isinstance(payload, RecordBatch):
+        source.num_primary_override = int(
+            np.count_nonzero(payload.is_primary()))
+        keep, _ = apply_read_filter(payload, params, flag_filters,
+                                    filter_out=True)
+        return payload.select(keep)
+
+    source.num_primary_override = 0
+
+    def gen():
+        for batch in payload:
+            source.num_primary_override += int(
+                np.count_nonzero(batch.is_primary()))
+            keep, _ = apply_read_filter(batch, params, flag_filters,
+                                        filter_out=True)
+            yield batch.select(keep)
+
+    return gen()
+
+
 def _mtid(batch: RecordBatch) -> np.ndarray:
     """next_refID (mate tid) decoded from the raw records."""
     arr = np.frombuffer(batch.data, dtype=np.uint8)
