@@ -127,26 +127,49 @@ def _batch_stats(scan: SampleScan, layout: ReferenceLayout):
     )
 
 
+def _mesh_depth_fn():
+    """Contig-sharded mesh engine when >1 local device is visible.
+
+    COVERM_TPU_MESH=0 disables (single-device sweep everywhere); the
+    default routes single-sample scans through the (dp=1, shard) mesh —
+    bit-equal to the single-device engine (each contig lives wholly on
+    one shard)."""
+    import jax
+
+    if os.environ.get("COVERM_TPU_MESH", "auto") == "0":
+        return None
+    if len(jax.local_devices()) < 2:
+        return None
+    from .parallel.mesh_sweep import make_shard_mesh, mesh_depth_fn
+    return mesh_depth_fn(make_shard_mesh())
+
+
 def _scanned(sources, layout_for_fn, flag_filter, need_hist, trim=None):
     """Yield (source, header, layout, scan, scan_seconds) in source order.
 
-    With multiple local devices, samples are scanned CONCURRENTLY, one
-    per device (sample data parallelism — the mesh analogue of the
-    reference's serial multi-sample loop, SURVEY.md §2.3); the big
-    record batches stay inside the worker and only the small per-contig
-    statistics are retained.  With one device, the prefetch pipeline
-    overlaps host decode with device compute instead.
+    With multiple local devices and multiple samples, samples are
+    scanned CONCURRENTLY, one per device (sample data parallelism — the
+    mesh analogue of the reference's serial multi-sample loop, SURVEY.md
+    §2.3); the big record batches stay inside the worker and only the
+    small per-contig statistics are retained.  With a single sample (or
+    COVERM_TPU_MESH=1), each scan is instead sharded over ALL devices by
+    contig (parallel/mesh_sweep.py) and the prefetch pipeline overlaps
+    host decode with device compute.
     """
     import jax
 
     devs = jax.local_devices()
     workers = min(len(sources), len(devs))
+    if os.environ.get("COVERM_TPU_MESH", "auto") == "1":
+        workers = 1  # force every scan through the mesh engine
     if workers <= 1:
+        depth_fn = _mesh_depth_fn()
+        kw = {"depth_fn": depth_fn} if depth_fn is not None else {}
         for s, (header, payload) in _prefetched(sources):
             t0 = time.perf_counter()
             layout = layout_for_fn(header)
             scan = scan_any(header, payload, layout, flag_filter,
-                            need_hist, trim=trim)
+                            need_hist, trim=trim, **kw)
             yield s, header, layout, scan, time.perf_counter() - t0
         return
 

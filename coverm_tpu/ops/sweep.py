@@ -60,7 +60,9 @@ def _bucket_geo(n: int, minimum: int = 1024) -> int:
     number of distinct compiled shapes ~log_1.25(range) ~= 40."""
     b = minimum
     while b < n:
-        b = -(-b * 5 // 4) // 128 * 128  # ceil(b*1.25) rounded up to 128
+        # ceil(b*1.25) rounded UP to a multiple of 128 (rounding down
+        # stalls the loop at small b, e.g. 128 -> 160 -> 128)
+        b = (-(-b * 5 // 4) + 127) // 128 * 128
     return b
 
 
@@ -187,10 +189,8 @@ def _hist_math(depth, w_len, seg_of_event, n_seg, n_bins):
     return totals.reshape(n_seg, n_bins)
 
 
-@partial(jax.jit, static_argnames=("n_seg", "ee", "need_hist", "n_bins",
-                                   "len_mode", "trim"))
-def _sweep_packed(starts, lens_or_ends, counts_ext, seg_len, scalar_len,
-                  n_seg, ee, need_hist, n_bins, len_mode, trim=None):
+def _packed_math(starts, lens_or_ends, counts_ext, seg_len, scalar_len,
+                 n_seg, ee, need_hist, n_bins, len_mode, trim=None):
     """Transfer-minimal fused sweep: ONE device call, ONE packed result.
 
     The host sends, per sample:
@@ -246,6 +246,9 @@ def _sweep_packed(starts, lens_or_ends, counts_ext, seg_len, scalar_len,
         parts.append(hist.reshape(-1))
     return jnp.concatenate(parts)
 
+
+_sweep_packed = partial(jax.jit, static_argnames=(
+    "n_seg", "ee", "need_hist", "n_bins", "len_mode", "trim"))(_packed_math)
 
 _sweep_hist = partial(jax.jit, static_argnames=("n_seg", "n_bins"))(_hist_math)
 
@@ -412,6 +415,96 @@ def _device_lengths(layout: ReferenceLayout, n_seg: int):
     return dev
 
 
+def empty_depth_stats(C, need_hist, trim):
+    zero = lambda: np.zeros(C, dtype=np.int64)
+    return DepthStats(zero(), zero(), zero(), zero(),
+                      np.zeros((C, 1), np.int64) if need_hist else None,
+                      zero() if trim is not None else None,
+                      zero(), zero())
+
+
+def prep_segments(layout: ReferenceLayout, tids, starts, ends):
+    """Shared host prologue: tid-sort fallback + dense remap.
+
+    Returns (tids, starts, ends, seg_ids, n_seg, seg_len_dev, n_out, obs,
+    counts); obs is None unless the dense remap kicked in.
+    """
+    C = layout.n_contigs
+    if np.any(tids[1:] < tids[:-1]):
+        order = np.argsort(tids, kind="stable")
+        tids, starts, ends = tids[order], starts[order], ends[order]
+    if C > DENSE_REMAP_THRESHOLD:
+        obs = np.unique(tids)
+        seg_ids = np.searchsorted(obs, tids).astype(np.int32)
+        n_seg = _bucket(obs.size, minimum=8)
+        seg_len = np.zeros(n_seg, dtype=np.int64)
+        seg_len[: obs.size] = layout.lengths[obs]
+        seg_len_dev = jnp.asarray(seg_len)
+        n_out = obs.size
+    else:
+        obs = None
+        seg_ids = tids.astype(np.int32)
+        n_seg = _bucket(C, minimum=8)
+        seg_len_dev = _device_lengths(layout, n_seg)
+        n_out = C
+    counts = np.bincount(seg_ids, minlength=n_seg)
+    return tids, starts, ends, seg_ids, n_seg, seg_len_dev, n_out, obs, counts
+
+
+def choose_payload(layout, tids, starts, ends):
+    """Pick the cheapest block-length representation for the link.
+
+    Returns (len_mode, scalar_len, vals) where vals is the per-block
+    payload column (None for scalar mode).
+    """
+    lens = (ends - starts).astype(np.int64)
+    L = int(lens.max(initial=0))
+    scalar_len = np.int32(L)
+    # scalar also covers uniform-length reads clamped at contig ends:
+    # a computed end >= contig length drops its -1 event exactly like
+    # the true clamped end does (contig.rs:178-183)
+    if tids.size and (
+        np.all(lens == L)
+        or np.array_equal(
+            np.minimum(starts + L, layout.lengths[tids]), ends)):
+        return "scalar", scalar_len, None
+    if L < (1 << 16):
+        return "u16", scalar_len, lens.astype(np.uint16)
+    return "ends", scalar_len, ends.astype(np.int32)
+
+
+def unpack_packed(layout, packed, n_seg, n_out, obs, tids, need_hist, trim,
+                  n_bins):
+    """Decode the packed device vector into DepthStats (shared by the
+    single-device and mesh engines; hist requires the caller to have
+    re-dispatched on overflow already)."""
+    C = layout.n_contigs
+    ee = layout.contig_end_exclusion
+    zero = lambda: np.zeros(C, dtype=np.int64)
+    out = DepthStats(zero(), zero(), zero(), zero(), None,
+                     sumsq_window=zero(), min_depth_window=zero())
+    tgt = obs if obs is not None else slice(0, C)
+    out.sum_depth_window[tgt] = packed[:n_out]
+    out.covered_window[tgt] = packed[n_seg: n_seg + n_out]
+    out.covered_full[tgt] = packed[2 * n_seg: 2 * n_seg + n_out]
+    out.max_depth_window[tgt] = np.maximum(
+        packed[3 * n_seg: 3 * n_seg + n_out], 0)
+    out.sumsq_window[tgt] = packed[4 * n_seg: 4 * n_seg + n_out]
+    out.min_depth_window[tgt] = packed[5 * n_seg: 5 * n_seg + n_out]
+    base = 6 * n_seg + 1
+    if trim is not None:
+        out.trimmed_sum = zero()
+        out.trimmed_sum[tgt] = packed[base: base + n_out]
+        base += n_seg
+    if need_hist:
+        h = packed[base:].reshape(n_seg, n_bins)
+        hist = np.zeros((C, n_bins), dtype=np.int64)
+        hist[tgt] = h[:n_out]
+        _fix_hist_bin0(layout, out, hist, tids, obs, ee)
+        out.hist = hist
+    return out
+
+
 def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
                               need_hist: bool = False,
                               trim=None) -> DepthStats:
@@ -424,39 +517,16 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
     packed device->host fetch.
     """
     C = layout.n_contigs
-    zero = lambda: np.zeros(C, dtype=np.int64)
     tids = np.asarray(tids)
     starts = np.asarray(starts)
     ends = np.asarray(ends)
     if tids.size == 0 or C == 0:
-        return DepthStats(zero(), zero(), zero(), zero(),
-                          np.zeros((C, 1), np.int64) if need_hist else None,
-                          zero() if trim is not None else None,
-                          zero(), zero())
+        return empty_depth_stats(C, need_hist, trim)
 
     ee = layout.contig_end_exclusion
     n_blocks = tids.size
-    if np.any(tids[1:] < tids[:-1]):
-        order = np.argsort(tids, kind="stable")
-        tids, starts, ends = tids[order], starts[order], ends[order]
-
-    dense = C > DENSE_REMAP_THRESHOLD
-    if dense:
-        obs = np.unique(tids)
-        seg_ids = np.searchsorted(obs, tids).astype(np.int32)
-        n_seg = _bucket(obs.size, minimum=8)
-        seg_len = np.zeros(n_seg, dtype=np.int64)
-        seg_len[: obs.size] = layout.lengths[obs]
-        seg_len_dev = jnp.asarray(seg_len)
-        n_out = obs.size
-        counts = np.bincount(seg_ids, minlength=n_seg)
-    else:
-        obs = None
-        seg_ids = tids.astype(np.int32)
-        n_seg = _bucket(C, minimum=8)
-        seg_len_dev = _device_lengths(layout, n_seg)
-        n_out = C
-        counts = np.bincount(seg_ids, minlength=n_seg)
+    (tids, starts, ends, seg_ids, n_seg, seg_len_dev, n_out, obs,
+     counts) = prep_segments(layout, tids, starts, ends)
 
     if _use_pallas():
         return _sweep_legacy(layout, seg_ids, starts, ends, obs, n_seg,
@@ -467,27 +537,12 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
     starts_p[:n_blocks] = starts
     counts_ext = np.append(counts, B - n_blocks).astype(np.int32)
 
-    # pick the cheapest block-length representation for the link
-    lens = (ends - starts).astype(np.int64)
-    L = int(lens.max(initial=0))
-    scalar_len = np.int32(L)
-    # scalar also covers uniform-length reads clamped at contig ends:
-    # a computed end >= contig length drops its -1 event exactly like
-    # the true clamped end does (contig.rs:178-183)
-    if n_blocks and (
-        np.all(lens == L)
-        or np.array_equal(
-            np.minimum(starts + L, layout.lengths[tids]), ends)):
-        len_mode = "scalar"
+    len_mode, scalar_len, vals = choose_payload(layout, tids, starts, ends)
+    if vals is None:
         payload = np.zeros(1, dtype=np.uint16)
-    elif lens.max(initial=0) < (1 << 16):
-        len_mode = "u16"
-        payload = np.zeros(B, dtype=np.uint16)
-        payload[:n_blocks] = lens
     else:
-        len_mode = "ends"
-        payload = np.zeros(B, dtype=np.int32)
-        payload[:n_blocks] = ends
+        payload = np.zeros(B, dtype=vals.dtype)
+        payload[:n_blocks] = vals
 
     n_bins = SPEC_HIST_BINS
     trim_key = (float(trim[0]), float(trim[1])) if trim is not None else None
@@ -504,29 +559,8 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
             jnp.asarray(counts_ext), seg_len_dev, scalar_len,
             n_seg, ee, need_hist, n_bins, len_mode, trim_key)))
 
-    out = DepthStats(zero(), zero(), zero(), zero(), None,
-                     sumsq_window=zero(), min_depth_window=zero())
-    tgt = obs if dense else slice(0, C)
-    out.sum_depth_window[tgt] = packed[:n_out]
-    out.covered_window[tgt] = packed[n_seg: n_seg + n_out]
-    out.covered_full[tgt] = packed[2 * n_seg: 2 * n_seg + n_out]
-    out.max_depth_window[tgt] = np.maximum(
-        packed[3 * n_seg: 3 * n_seg + n_out], 0)
-    out.sumsq_window[tgt] = packed[4 * n_seg: 4 * n_seg + n_out]
-    out.min_depth_window[tgt] = packed[5 * n_seg: 5 * n_seg + n_out]
-    base = 6 * n_seg + 1
-    if trim is not None:
-        out.trimmed_sum = zero()
-        out.trimmed_sum[tgt] = packed[base: base + n_out]
-        base += n_seg
-
-    if need_hist:
-        h = packed[base:].reshape(n_seg, n_bins)
-        hist = np.zeros((C, n_bins), dtype=np.int64)
-        hist[tgt] = h[:n_out]
-        _fix_hist_bin0(layout, out, hist, tids, obs, ee)
-        out.hist = hist
-    return out
+    return unpack_packed(layout, packed, n_seg, n_out, obs, tids,
+                         need_hist, trim, n_bins)
 
 
 def _fix_hist_bin0(layout, out, hist, tids, obs, ee):

@@ -1,0 +1,185 @@
+"""Production contig-sharded mesh sweep (the `--sharded` mesh analogue).
+
+The event-sweep depth engine (ops/sweep.py) is independent across
+contigs, so the natural multi-device decomposition is *reference
+sharding* (SURVEY.md §2.3, the mesh re-imagining of the reference's
+shard_bam_reader.rs merge): alignment blocks are routed to devices by
+contig id (greedy longest-processing-time balance over per-contig block
+counts), each device runs the identical packed sweep on its local
+blocks, and the per-contig output vectors are psum-merged — every
+contig's statistics are nonzero on exactly one shard, so the merge is
+exact and the result is bit-equal to the single-device engine.
+
+A second mesh axis ``dp`` carries sample data parallelism (the mesh form
+of the reference's serial multi-sample loop, contig.rs:22): each dp row
+scans one sample's blocks, and per-sample outputs stay sharded over dp.
+
+This path is CLI-reachable: modes._scanned selects it automatically
+whenever more than one local device is visible (COVERM_TPU_MESH=0
+disables; =1 forces even for multi-sample thread-DP runs).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.depth import ReferenceLayout, _bucket
+from ..ops.sweep import (SPEC_HIST_BINS, _bucket_geo, _packed_math,
+                         choose_payload, empty_depth_stats, prep_segments,
+                         unpack_packed)
+
+
+def make_shard_mesh(n_devices: int | None = None, dp: int = 1) -> Mesh:
+    devices = np.array(jax.devices()[: n_devices or len(jax.devices())])
+    shard = len(devices) // dp
+    return Mesh(devices[: dp * shard].reshape(dp, shard),
+                axis_names=("dp", "shard"))
+
+
+def assign_contigs(counts: np.ndarray, n_shards: int) -> np.ndarray:
+    """Greedy LPT: heaviest contig (by block count) to the least-loaded
+    shard. Deterministic (ties broken by lowest shard id / lowest tid)."""
+    shard_of = np.zeros(counts.shape[0], dtype=np.int32)
+    load = np.zeros(n_shards, dtype=np.int64)
+    order = np.argsort(-counts, kind="stable")
+    for c in order:
+        s = int(np.argmin(load))
+        shard_of[c] = s
+        load[s] += int(counts[c])
+    return shard_of
+
+
+@partial(jax.jit, static_argnames=("n_seg", "ee", "need_hist", "n_bins",
+                                   "len_mode", "trim", "mesh"))
+def _mesh_sweep(starts, payload, counts_ext, seg_len, scalar_len,
+                n_seg, ee, need_hist, n_bins, len_mode, trim, mesh):
+    """One packed sweep per (dp row, shard), psum-merged over shards.
+
+    starts/payload: [S, n_shards * B_local]   sharded (dp, shard)
+    counts_ext:     [S, n_shards, n_seg + 1]  sharded (dp, shard, -)
+    seg_len:        [n_seg]                   replicated
+    scalar_len:     [S, 1]                    sharded (dp, -)
+    Returns the packed stats vector per dp row, sharded over dp. The
+    gmax element is a psum of shard maxima — an upper bound on the true
+    maximum, used only as the histogram-overflow trigger.
+    """
+    def local(starts, payload, counts_ext, seg_len, scalar_len):
+        fn = lambda s, p, c, sl: _packed_math(
+            s, p, c[0], seg_len, sl[0], n_seg, ee, need_hist, n_bins,
+            len_mode, trim)
+        packed = jax.vmap(fn)(starts, payload, counts_ext, scalar_len)
+        return jax.lax.psum(packed, "shard")
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("dp", "shard"), P("dp", "shard"),
+                  P("dp", "shard", None), P(None), P("dp", None)),
+        out_specs=P("dp"),
+    )
+    return fn(starts, payload, counts_ext, seg_len, scalar_len)
+
+
+def _route_sample(layout, tids, starts, ends, n_shards):
+    """Host-side routing of one sample's blocks to contig shards.
+
+    Returns (per-shard starts list, per-shard payload list, counts
+    [n_shards, n_seg], len_mode, scalar_len, plus the prep_segments
+    outputs needed for unpacking)."""
+    (tids, starts, ends, seg_ids, n_seg, seg_len_dev, n_out, obs,
+     counts) = prep_segments(layout, tids, starts, ends)
+    len_mode, scalar_len, vals = choose_payload(layout, tids, starts, ends)
+
+    shard_of_contig = assign_contigs(counts, n_shards)
+    shard_of_block = shard_of_contig[seg_ids]
+    order = np.argsort(shard_of_block, kind="stable")  # keeps tid order
+    seg_sorted = seg_ids[order]
+    starts_sorted = starts[order].astype(np.int32)
+    vals_sorted = None if vals is None else vals[order]
+    per_shard = np.bincount(shard_of_block, minlength=n_shards)
+    offsets = np.concatenate(([0], np.cumsum(per_shard)))
+
+    counts_mat = counts[None, :] * (shard_of_contig[None, :]
+                                    == np.arange(n_shards)[:, None])
+    return (seg_sorted, starts_sorted, vals_sorted, offsets, counts_mat,
+            len_mode, scalar_len, n_seg, seg_len_dev, n_out, obs, tids,
+            per_shard)
+
+
+def _pack_shards(starts_sorted, vals_sorted, offsets, counts_mat, B_local,
+                 n_shards, n_seg, len_mode):
+    """Pad each shard's block list to B_local and stack."""
+    starts_p = np.zeros((n_shards, B_local), dtype=np.int32)
+    if len_mode == "scalar":
+        payload_p = np.zeros((n_shards, 1), dtype=np.uint16)
+    else:
+        payload_p = np.zeros((n_shards, B_local), dtype=vals_sorted.dtype)
+    counts_ext = np.zeros((n_shards, n_seg + 1), dtype=np.int32)
+    counts_ext[:, :n_seg] = counts_mat
+    for s in range(n_shards):
+        lo, hi = offsets[s], offsets[s + 1]
+        k = hi - lo
+        starts_p[s, :k] = starts_sorted[lo:hi]
+        if len_mode != "scalar" and k:
+            payload_p[s, :k] = vals_sorted[lo:hi]
+        counts_ext[s, n_seg] = B_local - k
+    return starts_p, payload_p, counts_ext
+
+
+def compute_depth_stats_sweep_mesh(layout: ReferenceLayout, tids, starts,
+                                   ends, need_hist: bool = False, trim=None,
+                                   mesh: Mesh | None = None):
+    """Drop-in for compute_depth_stats_sweep over a (dp=1, shard) mesh."""
+    if mesh is None:
+        mesh = make_shard_mesh()
+    C = layout.n_contigs
+    tids = np.asarray(tids)
+    starts = np.asarray(starts)
+    ends = np.asarray(ends)
+    if tids.size == 0 or C == 0:
+        return empty_depth_stats(C, need_hist, trim)
+
+    n_shards = mesh.devices.shape[1]
+    (seg_sorted, starts_sorted, vals_sorted, offsets, counts_mat, len_mode,
+     scalar_len, n_seg, seg_len_dev, n_out, obs, tids_s,
+     per_shard) = _route_sample(layout, tids, starts, ends, n_shards)
+
+    B_local = _bucket_geo(max(int(per_shard.max(initial=1)), 1), minimum=128)
+    starts_p, payload_p, counts_ext = _pack_shards(
+        starts_sorted, vals_sorted, offsets, counts_mat, B_local, n_shards,
+        n_seg, len_mode)
+
+    ee = layout.contig_end_exclusion
+    trim_key = (float(trim[0]), float(trim[1])) if trim is not None else None
+    sl = np.asarray([[scalar_len]], dtype=np.int32)
+    n_bins = SPEC_HIST_BINS
+
+    def dispatch(n_bins):
+        return np.asarray(jax.device_get(_mesh_sweep(
+            jnp.asarray(starts_p.reshape(1, -1)),
+            jnp.asarray(payload_p.reshape(1, -1)),
+            jnp.asarray(counts_ext.reshape(1, n_shards, n_seg + 1)),
+            seg_len_dev, jnp.asarray(sl), n_seg, ee, need_hist, n_bins,
+            len_mode, trim_key, mesh)))[0]
+
+    packed = dispatch(n_bins)
+    gmax_bound = int(packed[6 * n_seg])  # psum of shard maxima (>= true max)
+    if need_hist and gmax_bound >= n_bins:
+        n_bins = _bucket(gmax_bound + 1, minimum=128)
+        packed = dispatch(n_bins)
+
+    return unpack_packed(layout, packed, n_seg, n_out, obs, tids_s,
+                         need_hist, trim, n_bins)
+
+
+def mesh_depth_fn(mesh: Mesh | None = None):
+    """A scan_sample-compatible depth_fn bound to a mesh."""
+    if mesh is None:
+        mesh = make_shard_mesh()
+    return partial(compute_depth_stats_sweep_mesh, mesh=mesh)
