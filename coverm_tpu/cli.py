@@ -451,24 +451,33 @@ def main(argv=None):
         format="[%(asctime)s %(levelname)s] %(message)s",
         datefmt="%Y-%m-%dT%H:%M:%S")
     from . import commands
-    if args.subcommand in ("contig", "genome"):
-        run = (commands.run_contig if args.subcommand == "contig"
-               else commands.run_genome)
-        if getattr(args, "profile_dir", None):
-            import jax
-            with jax.profiler.trace(args.profile_dir):
-                return run(args)
-        return run(args)
-    if args.subcommand == "filter":
-        return commands.run_filter(args)
-    if args.subcommand == "make":
-        return commands.run_make(args)
-    if args.subcommand == "cluster":
-        return commands.run_cluster(args)
-    if args.subcommand == "makedb":
-        return commands.run_makedb(args)
-    if args.subcommand == "shell-completion":
-        return commands.run_shell_completion(args)
+    from .io.bam import BamFormatError
+    from .scan import BamSortingError, MissingNMTagError
+    try:
+        if args.subcommand in ("contig", "genome"):
+            run = (commands.run_contig if args.subcommand == "contig"
+                   else commands.run_genome)
+            if getattr(args, "profile_dir", None):
+                import jax
+                with jax.profiler.trace(args.profile_dir):
+                    return run(args)
+            return run(args)
+        if args.subcommand == "filter":
+            return commands.run_filter(args)
+        if args.subcommand == "make":
+            return commands.run_make(args)
+        if args.subcommand == "cluster":
+            return commands.run_cluster(args)
+        if args.subcommand == "makedb":
+            return commands.run_makedb(args)
+        if args.subcommand == "shell-completion":
+            return commands.run_shell_completion(args)
+    except (BamSortingError, MissingNMTagError, BamFormatError,
+            ValueError) as e:
+        # fail-fast with the reference's message on stderr
+        # (contig.rs:129-132, genome.rs:549-552, lib.rs:144-157)
+        print(f"Error: {e}", file=sys.stderr)
+        raise SystemExit(1)
     parser.print_help()
     return 1
 

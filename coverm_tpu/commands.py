@@ -290,24 +290,18 @@ def run_filter(args):
             "output")
     fp = filter_params_from_args(args)
     ff = flag_filter_from_args(args)
+    from .filter_stream import stream_filter_bam
     for in_path, out_path in zip(args.bam_files, args.output_bam_files):
-        reader = BamReader(in_path)
-        batch = reader.batch
         # reference semantics: filter_out=true is the normal mode, --inverse
-        # flips it (coverm.rs:453 passes !inverse)
-        keep, order = apply_read_filter(batch, fp, ff,
-                                        filter_out=not args.inverse)
-        data = batch.data
-        with open(out_path, "wb") as f:
-            w = bgzf.BgzfWriter(f)
-            w.write(reader.header.raw)
-            for i in order:
-                w.write(data[batch.rec_start[i]:batch.rec_end[i]])
-            w.close()
+        # flips it (coverm.rs:453 passes !inverse).  Streaming rewrite —
+        # memory bounded by segment size, multi-GB headers copied through
+        # in chunks (test_cmdline.rs:4212-4369).
+        kept, total = stream_filter_bam(in_path, out_path, fp, ff,
+                                        inverse=args.inverse)
         print(
             f"In sample '{os.path.basename(in_path)}', found "
-            f"{int(np.count_nonzero(keep))} reads passing filter out of "
-            f"{batch.n_records} total", file=sys.stderr)
+            f"{kept} reads passing filter out of {total} total",
+            file=sys.stderr)
     return 0
 
 
@@ -340,7 +334,8 @@ def run_cluster(args):
     reps = dereplicate(args, genome_fasta_files)
     print(f"Found {len(reps)} cluster representatives", file=sys.stderr)
     if not (args.output_cluster_definition or args.output_representative_list
-            or args.output_representative_fasta_directory):
+            or args.output_representative_fasta_directory
+            or args.output_representative_fasta_directory_copy):
         for r in reps:
             print(r)
     return 0

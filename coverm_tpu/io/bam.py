@@ -46,6 +46,10 @@ class BamFormatError(Exception):
     pass
 
 
+class TruncatedHeaderError(BamFormatError):
+    """Header spans beyond the current buffer (streaming ingestion)."""
+
+
 @dataclass
 class BamHeader:
     text: str
@@ -171,21 +175,38 @@ _FNV_PRIME = np.uint64(0x100000001B3)
 def _parse_header(data: bytes):
     if data[:4] != b"BAM\x01":
         raise BamFormatError("Not a BAM file (bad magic)")
-    (l_text,) = struct.unpack_from("<i", data, 4)
-    text = data[8 : 8 + l_text].split(b"\x00", 1)[0].decode()
+    # l_text is unsigned in practice: htslib round-trips >2 GiB SAM
+    # headers (test_cmdline.rs:4212 writes a 2.5 GB header)
+    (l_text,) = struct.unpack_from("<I", data, 4)
+    if 8 + l_text + 4 > len(data):
+        raise TruncatedHeaderError("header spans buffer")
+    # huge headers are comment padding; keep text lazily bounded
+    text = data[8: 8 + min(l_text, 1 << 26)].split(b"\x00", 1)[0].decode()
     off = 8 + l_text
     (n_ref,) = struct.unpack_from("<i", data, off)
     off += 4
-    names = []
-    lens = np.empty(n_ref, dtype=np.int64)
-    for i in range(n_ref):
-        (l_name,) = struct.unpack_from("<i", data, off)
-        off += 4
-        names.append(data[off : off + l_name - 1].decode())
-        off += l_name
-        (lens[i],) = struct.unpack_from("<I", data, off)
-        off += 4
-    header = BamHeader(text=text, target_names=names, target_lens=lens,
+    from . import native
+    walked = native.walk_refs(data, off, n_ref)
+    if walked is not None:
+        name_off, name_len, lens, end = walked
+        if end < 0:
+            raise TruncatedHeaderError("header spans buffer")
+        names = [
+            bytes(data[int(a): int(a + l)]).decode()
+            for a, l in zip(name_off, name_len)]
+        off = end
+    else:
+        names = []
+        lens = np.empty(n_ref, dtype=np.int64)
+        for i in range(n_ref):
+            (l_name,) = struct.unpack_from("<i", data, off)
+            off += 4
+            names.append(data[off : off + l_name - 1].decode())
+            off += l_name
+            (lens[i],) = struct.unpack_from("<I", data, off)
+            off += 4
+    header = BamHeader(text=text, target_names=names,
+                       target_lens=np.asarray(lens, dtype=np.int64),
                        raw=data[:off])
     return header, off
 
@@ -254,11 +275,23 @@ def _scan_aux(data, aux_starts, aux_ends):
 
 
 def parse_bam_bytes(raw: bytes) -> tuple:
-    """Decode a whole (BGZF-compressed) BAM byte string."""
+    """Decode a whole BAM byte string: BGZF-compressed, uncompressed
+    BAM, or SAM text (htslib reads all three transparently through the
+    same `-b` inputs, e.g. tests/data/mapq_test.sam)."""
+    if raw[:4] == b"BAM\x01":
+        return parse_bam_data_raw(raw)
+    if raw[:2] != b"\x1f\x8b":
+        from .sam import sam_text_to_bam_data
+        return parse_bam_data_raw(
+            sam_text_to_bam_data(iter(raw.decode().splitlines())))
     from . import native
     data = native.bgzf_decompress(raw)
     if data is None:
         data = bgzf.decompress_all(raw)
+    if data[:4] != b"BAM\x01":  # gzipped SAM text
+        from .sam import sam_text_to_bam_data
+        return parse_bam_data_raw(
+            sam_text_to_bam_data(iter(data.decode().splitlines())))
     return parse_bam_data_raw(data)
 
 
@@ -470,7 +503,8 @@ class BamStreamReader:
             if self.header is None:
                 try:
                     self.header, start = _parse_header(buf)
-                except (struct.error, IndexError, UnicodeDecodeError):
+                except (struct.error, IndexError, UnicodeDecodeError,
+                        TruncatedHeaderError):
                     carry = buf  # header spans segments; keep accumulating
                     continue
                 yield self.header

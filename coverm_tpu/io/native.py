@@ -59,6 +59,9 @@ def get_lib():
         lib.ct_scan_records.restype = c_i64
         lib.ct_scan_records.argtypes = [c_u8p, c_i64, c_i64, c_i64, c_i64p,
                                         c_i64p, c_i64p, c_u64p]
+        lib.ct_walk_refs.restype = c_i64
+        lib.ct_walk_refs.argtypes = [c_u8p, c_i64, c_i64, c_i64, c_i64p,
+                                     c_i64p, c_i64p]
         _lib = lib
         return _lib
 
@@ -148,6 +151,23 @@ def bgzf_inflate_blocks(arr: np.ndarray, off, csz, usz,
     if rc != 0:
         return None
     return out.tobytes()
+
+
+def walk_refs(data, off: int, n_ref: int):
+    """Native walk of the header reference list.
+
+    Returns (name_off, name_len, tlen, end_off) or None (no lib);
+    end_off is -1 when the buffer is truncated mid-list."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8)
+    name_off = np.empty(n_ref, np.int64)
+    name_len = np.empty(n_ref, np.int64)
+    tlen = np.empty(n_ref, np.int64)
+    end = lib.ct_walk_refs(_u8p(arr), arr.size, off, n_ref, _i64p(name_off),
+                           _i64p(name_len), _i64p(tlen))
+    return name_off, name_len, tlen, int(end)
 
 
 def scan_records(data, header_end: int, end: int | None = None):

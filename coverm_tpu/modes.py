@@ -60,8 +60,10 @@ class BamFileSource:
     def __post_init__(self):
         if self.stoit_name is None:
             base = os.path.basename(self.path)
-            if base.endswith(".bam"):
-                base = base[: -len(".bam")]
+            for ext in (".bam", ".sam", ".cram"):
+                if base.endswith(ext):
+                    base = base[: -len(ext)]
+                    break
             self.stoit_name = base
 
     @property

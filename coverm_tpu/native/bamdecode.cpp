@@ -221,4 +221,30 @@ int64_t ct_scan_records(const uint8_t* data, int64_t len, int64_t start,
   return n;
 }
 
+// Walk the reference-sequence list of a BAM header (the block after the
+// SAM text, SAM spec §4.2): n_ref entries of {l_name, name, l_ref}.
+// Fills name_off/name_len (name byte ranges, NUL excluded) and tlen.
+// Returns the end offset of the list, or -1 when the buffer is
+// truncated mid-list.  Replaces the per-record Python loop that made
+// multi-GB headers take minutes (io/bam.py).
+int64_t ct_walk_refs(const uint8_t* data, int64_t size, int64_t off,
+                     int64_t n_ref, int64_t* name_off, int64_t* name_len,
+                     int64_t* tlen) {
+  for (int64_t i = 0; i < n_ref; i++) {
+    if (off + 4 > size) return -1;
+    uint32_t l_name;
+    memcpy(&l_name, data + off, 4);
+    off += 4;
+    if (off + (int64_t)l_name + 4 > size) return -1;
+    name_off[i] = off;
+    name_len[i] = (int64_t)l_name - 1;
+    off += l_name;
+    uint32_t l_ref;
+    memcpy(&l_ref, data + off, 4);
+    tlen[i] = l_ref;
+    off += 4;
+  }
+  return off;
+}
+
 }  // extern "C"

@@ -134,10 +134,11 @@ def apply_read_filter(batch: RecordBatch, params: FilterParams,
         keep |= passes_filter1 & (passes2 == filter_out)
         return keep, np.flatnonzero(keep)
 
-    if not filtering_pairs:
-        # no filtering at all
-        keep = np.ones(n, dtype=bool)
-        return keep, np.flatnonzero(keep)
+    # With neither mode active the reference still runs the PAIR path
+    # with vacuous thresholds (filter.rs:88 routes everything that is not
+    # single-only through it): normal mode emits proper pairs and drops
+    # unmapped/improper/secondary/supplementary; inverse emits the
+    # complement.  Fall through to the pair path below.
 
     # pair path (filter.rs:117-233)
     keep = np.zeros(n, dtype=bool)

@@ -3,6 +3,11 @@ import os
 # Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
 # without TPU hardware; bench.py runs on the real chip.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon TPU plugin ignores JAX_PLATFORMS; subprocess tests (CLI
+# invocations) need the repo's own override, which coverm_tpu honours
+# through the jax config knob (ops/depth.py) — without it they run on
+# the real TPU over the tunnel and take minutes.
+os.environ["COVERM_TPU_PLATFORM"] = "cpu"
 if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
