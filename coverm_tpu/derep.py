@@ -153,21 +153,108 @@ def read_genome_info(path: str) -> dict:
     return out
 
 
+def candidate_adjacency(sketches):
+    """Precluster stage (galah's dashing/finch prefilter analogue,
+    coverm.rs:1093-1102): an inverted hash->genome index yields, for each
+    genome, the set of genomes sharing >=1 sketch hash.  For the sketch
+    engine this is EXACT, not approximate: a pair sharing no hash has
+    sketch ANI 0, so it could never cluster anyway.  Cost is
+    O(total sketch size + shared pairs) instead of O(n^2) full
+    comparisons."""
+    n = len(sketches)
+    if n == 0:
+        return [set() for _ in range(n)]
+    ids = np.concatenate([
+        np.full(s.size, i, np.int32) for i, s in enumerate(sketches)] or
+        [np.zeros(0, np.int32)])
+    hs = np.concatenate(sketches) if ids.size else np.zeros(0, np.uint64)
+    order = np.argsort(hs, kind="stable")
+    hs, ids = hs[order], ids[order]
+    adj = [set() for _ in range(n)]
+    if hs.size == 0:
+        return adj
+    new = np.concatenate(([0], np.flatnonzero(hs[1:] != hs[:-1]) + 1,
+                          [hs.size]))
+    for a, b in zip(new[:-1], new[1:]):
+        if b - a > 1:
+            grp = np.unique(ids[a:b])
+            for x in range(grp.size):
+                gx = int(grp[x])
+                for y in range(x + 1, grp.size):
+                    gy = int(grp[y])
+                    adj[gx].add(gy)
+                    adj[gy].add(gx)
+    return adj
+
+
+def _external_ani(method, rep_path, cand_paths, threads=1,
+                  min_aligned_fraction=0.15, fragment_length=3000):
+    """Pairwise ANI of rep vs candidates via an external engine (the
+    reference's dependency model: galah shells out to skani/fastANI).
+
+    Returns {candidate_path: ani_percent} for pairs passing the
+    aligned-fraction gate."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    exe = {"skani": "skani", "fastani": "fastANI"}[method]
+    if shutil.which(exe) is None:
+        raise SystemExit(
+            f"--cluster-method {method} requires the {exe} executable on "
+            "$PATH (install it, or use the built-in sketch method)")
+    out = {}
+    with tempfile.TemporaryDirectory(prefix="coverm-tpu-ani") as td:
+        rl = os.path.join(td, "refs.txt")
+        with open(rl, "w") as f:
+            f.write("\n".join(cand_paths) + "\n")
+        if method == "skani":
+            cmd = ["skani", "dist", "-q", rep_path, "--rl", rl,
+                   "-t", str(threads), "--min-af",
+                   str(min_aligned_fraction * 100.0)]
+            res = subprocess.run(cmd, capture_output=True, text=True)
+            if res.returncode != 0:
+                raise SystemExit(f"skani dist failed: {res.stderr[-2000:]}")
+            for line in res.stdout.splitlines()[1:]:
+                cols = line.split("\t")
+                if len(cols) >= 3:
+                    out[cols[0]] = float(cols[2])
+        else:
+            of = os.path.join(td, "out.tsv")
+            cmd = ["fastANI", "-q", rep_path, "--rl", rl, "-o", of,
+                   "-t", str(threads), "--fragLen", str(int(fragment_length))]
+            res = subprocess.run(cmd, capture_output=True, text=True)
+            if res.returncode != 0:
+                raise SystemExit(f"fastANI failed: {res.stderr[-2000:]}")
+            with open(of) as f:
+                for line in f:
+                    cols = line.split("\t")
+                    if len(cols) >= 5:
+                        frac = int(cols[3]) / max(int(cols[4]), 1)
+                        if frac >= min_aligned_fraction:
+                            out[cols[1]] = float(cols[2])
+    return out
+
+
 @dataclass
 class Clusterer:
     genome_paths: list
     ani: float = 95.0
     precluster_ani: float = 90.0
-    min_aligned_fraction: float = 0.15  # accepted but unused by sketch ANI
+    min_aligned_fraction: float = 0.15  # skani/fastANI gate
+    fragment_length: float = 3000.0     # fastANI --fragLen
     quality: dict = field(default_factory=dict)  # stem -> GenomeQuality
     quality_formula: str = "completeness-4contamination"
     k: int = 21
     scale: int = 1000
     reference_genomes: list = None  # pre-clustered representatives
+    cluster_method: str = "sketch"  # sketch | skani | fastani
+    threads: int = 1
 
     def cluster(self):
         """Return clusters as lists of indices into genome_paths; index 0 of
-        each cluster is the representative."""
+        each cluster is the representative (galah's greedy quality-ordered
+        scheme behind coverm.rs:1093-1102)."""
         from .genome_parsing import genome_name_from_path
 
         n = len(self.genome_paths)
@@ -194,19 +281,36 @@ class Clusterer:
         order = ([i for i in order if i in ref_set]
                  + [i for i in order if i not in ref_set])
 
+        adj = candidate_adjacency(sketches)
         assigned = np.full(n, -1, dtype=np.int64)
         clusters = []
         for i in order:
             if assigned[i] >= 0:
                 continue
+            cluster_id = len(clusters)
             members = [i]
-            assigned[i] = len(clusters)
-            for j in order:
-                if assigned[j] >= 0 or j == i:
-                    continue
-                if sketch_ani(sketches[i], sketches[j], self.k) >= self.ani:
-                    assigned[j] = len(clusters)
-                    members.append(j)
+            assigned[i] = cluster_id
+            cands = sorted(j for j in adj[i] if assigned[j] < 0)
+            if cands and self.cluster_method in ("skani", "fastani"):
+                # sketch precluster at precluster_ani, exact ANI externally
+                cands = [j for j in cands
+                         if sketch_ani(sketches[i], sketches[j], self.k)
+                         >= self.precluster_ani]
+                ani_of = _external_ani(
+                    self.cluster_method, self.genome_paths[i],
+                    [self.genome_paths[j] for j in cands],
+                    threads=self.threads,
+                    min_aligned_fraction=self.min_aligned_fraction,
+                    fragment_length=self.fragment_length) if cands else {}
+                for j in cands:
+                    if ani_of.get(self.genome_paths[j], 0.0) >= self.ani:
+                        assigned[j] = cluster_id
+                        members.append(j)
+            else:
+                for j in cands:
+                    if sketch_ani(sketches[i], sketches[j], self.k) >= self.ani:
+                        assigned[j] = cluster_id
+                        members.append(j)
             clusters.append(members)
         return clusters
 
@@ -309,18 +413,36 @@ def dereplicate(args, genome_fasta_files):
             refs.extend(line.strip() for line in f if line.strip())
     combined = refs + [g for g in genome_fasta_files if g not in refs]
 
+    g = lambda k, dflt=None: (getattr(args, "dereplication_" + k, None)
+                              if getattr(args, "dereplication_" + k, None)
+                              is not None else getattr(args, k, dflt))
+    method = (g("cluster_method", "skani") or "skani").lower()
+    if method in ("skani", "fastani"):
+        import shutil
+        exe = {"skani": "skani", "fastani": "fastANI"}[method]
+        if shutil.which(exe) is None:
+            import logging
+            logging.getLogger("coverm_tpu").warning(
+                "--cluster-method %s: %s not found on $PATH; using the "
+                "built-in FracMinHash sketch ANI instead (sketch estimates, "
+                "not alignment ANI)", method, exe)
+            method = "sketch"
     clusterer = Clusterer(
         genome_paths=combined,
         ani=float(getattr(args, "dereplication_ani", None)
                   or getattr(args, "ani", 95.0)),
         precluster_ani=float(getattr(args, "dereplication_prethreshold_ani",
                                      None) or 90.0),
+        min_aligned_fraction=float(g("aligned_fraction", 15.0) or 15.0) / 100.0,
+        fragment_length=float(g("fragment_length", 3000) or 3000),
         quality=quality,
         quality_formula=getattr(args, "dereplication_quality_formula", None)
         or getattr(args, "quality_formula", None)
         or "completeness-4contamination",
         reference_genomes=refs or None,
         scale=_sketch_scale(args),
+        cluster_method=method,
+        threads=int(getattr(args, "threads", 1) or 1),
     )
     clusters = clusterer.cluster()
     reps = [combined[c[0]] for c in clusters]
@@ -348,4 +470,16 @@ def dereplicate(args, genome_fasta_files):
             dst = os.path.join(out_dir, os.path.basename(r))
             if not os.path.exists(dst):
                 os.symlink(os.path.abspath(r), dst)
+    out_dir_copy = (
+        getattr(args,
+                "dereplication_output_representative_fasta_directory_copy",
+                None)
+        or getattr(args, "output_representative_fasta_directory_copy", None))
+    if out_dir_copy:
+        import shutil
+        os.makedirs(out_dir_copy, exist_ok=True)
+        for r in reps:
+            dst = os.path.join(out_dir_copy, os.path.basename(r))
+            if not os.path.exists(dst):
+                shutil.copyfile(r, dst)
     return reps

@@ -111,3 +111,76 @@ def test_sketch_scale_knobs():
     assert _sketch_scale(mk(dereplication_small_genomes=True)) == 100
     assert _sketch_scale(mk(cluster_contigs=True)) == 100
     assert _sketch_scale(mk(dereplication_large_contigs=True)) == 2000
+
+
+def test_precluster_scales_1000_genomes(tmp_path):
+    """VERDICT r1 item 8: 1,000-genome synthetic derep under a minute.
+    50 families of 20 mutated copies each; the inverted-index precluster
+    keeps comparisons near-linear."""
+    import time
+
+    rng = np.random.default_rng(11)
+    paths = []
+    for fam in range(50):
+        base = random_seq(rng, 5000)
+        for v in range(20):
+            seq = base if v == 0 else mutate(rng, base, 0.01)
+            p = tmp_path / f"f{fam}_v{v}.fna"
+            write_genome(p, seq)
+            paths.append(str(p))
+    t0 = time.time()
+    c = Clusterer(genome_paths=paths, ani=95.0, scale=50)
+    clusters = c.cluster()
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"derep took {elapsed:.1f}s"
+    # families must not merge: 1% mutations put cross-family ANI ~ 0
+    assert len(clusters) == 50
+    assert sorted(len(c) for c in clusters) == [20] * 50
+
+
+def test_precluster_matches_bruteforce(genome_trio):
+    """The inverted-index precluster is exact for the sketch engine:
+    clusters equal the all-pairs greedy result."""
+    ga, gb, gc = genome_trio
+    c = Clusterer(genome_paths=[ga, gb, gc], ani=95.0)
+    clusters = c.cluster()
+    # brute force: ga+gb cluster (99% ANI), gc separate
+    as_sets = sorted(sorted(x) for x in clusters)
+    assert as_sets == [[0, 1], [2]]
+
+
+def test_cluster_method_fallback_warning(genome_trio, tmp_path, caplog):
+    """--cluster-method skani without skani on PATH warns and falls back
+    to the sketch engine (no silently-ignored knob)."""
+    import argparse
+    import logging
+
+    from coverm_tpu.derep import dereplicate
+
+    ga, gb, gc = genome_trio
+    args = argparse.Namespace(
+        dereplication_ani=95.0, dereplication_prethreshold_ani=90.0,
+        dereplication_cluster_method="skani", threads=1)
+    with caplog.at_level(logging.WARNING, logger="coverm_tpu"):
+        reps = dereplicate(args, [ga, gb, gc])
+    assert len(reps) == 2
+    assert any("skani not found" in r.message for r in caplog.records)
+
+
+def test_output_representative_fasta_directory_copy(genome_trio, tmp_path):
+    import argparse
+    import os
+
+    from coverm_tpu.derep import dereplicate
+
+    ga, gb, gc = genome_trio
+    out = tmp_path / "reps_copy"
+    args = argparse.Namespace(
+        dereplication_ani=95.0,
+        dereplication_output_representative_fasta_directory_copy=str(out),
+        threads=1)
+    reps = dereplicate(args, [ga, gb, gc])
+    files = sorted(os.listdir(out))
+    assert files == sorted(os.path.basename(r) for r in reps)
+    for f in files:
+        assert not os.path.islink(out / f)  # real copies, not symlinks
