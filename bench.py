@@ -4,10 +4,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload: a synthetic metagenomic sample — 32 contigs x 1 Mbp, 20x
 coverage with 150 bp single-block reads (~4.3M aligned reads) — pushed
-through the transfer-minimal event-sweep depth engine (device sort +
-scans; variance from moments, trimmed mean from device rank queries; no
-histogram) plus the vectorised estimator suite (mean, trimmed_mean,
-variance, covered_fraction).
+through the production streaming pipeline: contig-disjoint batches (the
+BamStreamReader shape), each dispatched DEFERRED to the transfer-minimal
+event-sweep engine (u16 start-delta upload, device sort + scans,
+variance from moments, trimmed mean from device rank queries), so batch
+i+1's host prep + h2d overlap batch i's device compute; per-contig
+results are fetched and merged at the end, then the vectorised
+estimator suite (mean, trimmed_mean, variance, covered_fraction) runs.
+
+Reported value is the MEDIAN over reps (VERDICT r1: min-of-N hid ~10x
+recompilation outliers; the per-rep times are printed to stderr).
 
 vs_baseline is the speedup over a single-core CoverM-style streaming
 scan (numpy ups-and-downs + prefix sum + bincount), the reference's
@@ -20,6 +26,9 @@ import sys
 import time
 
 import numpy as np
+
+N_BATCHES = 8
+REPS = 7
 
 
 def make_workload(n_contigs=32, contig_len=1_000_000, coverage=20, read_len=150,
@@ -36,6 +45,35 @@ def make_workload(n_contigs=32, contig_len=1_000_000, coverage=20, read_len=150,
     return lengths, tids, starts, ends, n_reads
 
 
+def split_batches(lengths, tids, starts, ends, n_batches):
+    """Contig-disjoint batches, the shape BamStreamReader delivers."""
+    n_contigs = len(lengths)
+    per = -(-n_contigs // n_batches)
+    bounds = np.searchsorted(tids, np.arange(0, n_contigs + per, per))
+    out = []
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        if hi > lo:
+            out.append((tids[lo:hi], starts[lo:hi], ends[lo:hi]))
+    return out
+
+
+def merge_stats(parts):
+    """Merge contig-disjoint DepthStats by addition (scan.merge_scans
+    semantics: only one part is nonzero per contig)."""
+    out = parts[0]
+    for p in parts[1:]:
+        out.sum_depth_window += p.sum_depth_window
+        out.covered_window += p.covered_window
+        out.covered_full += p.covered_full
+        out.max_depth_window += p.max_depth_window
+        out.sumsq_window += p.sumsq_window
+        out.min_depth_window += p.min_depth_window
+        if out.trimmed_sum is not None:
+            out.trimmed_sum += p.trimmed_sum
+    return out
+
+
 def run_estimators(layout, stats, n_contigs):
     """Vectorised estimator evaluation (the engine's contig-mode path):
     variance from moments, trimmed mean from device rank sums — no
@@ -43,7 +81,6 @@ def run_estimators(layout, stats, n_contigs):
     from coverm_tpu.estimators import (MeanEstimator, TrimmedMeanEstimator,
                                        VarianceEstimator,
                                        CoveredFractionEstimator, BatchStats)
-    import numpy as np
     ests = [MeanEstimator(0.0, 75, False),
             TrimmedMeanEstimator(0.05, 0.95, 0.0, 75),
             VarianceEstimator(0.0, 75),
@@ -87,42 +124,57 @@ def baseline_numpy_scan(lengths, tids, starts, ends, ee=75):
 
 
 def main():
-    t_setup = time.time()
     from coverm_tpu.ops.depth import ReferenceLayout, start_transfer_warmup
-    from coverm_tpu.ops.sweep import compute_depth_stats_sweep as compute_depth_stats
+    from coverm_tpu.ops.sweep import compute_depth_stats_sweep
     start_transfer_warmup()
     import jax
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     lengths, tids, starts, ends, n_reads = make_workload()
     layout = ReferenceLayout.build(lengths, 75)
+    batches = split_batches(lengths, tids, starts, ends, N_BATCHES)
+    print(f"{len(batches)} contig-disjoint batches, sizes "
+          f"{[len(b[0]) for b in batches]}", file=sys.stderr)
 
     TRIM = (0.05, 0.95)
+
+    def one_pass():
+        pending = [compute_depth_stats_sweep(
+            layout, bt, bs, be, need_hist=False, trim=TRIM,
+            need_max=False, deferred=True) for bt, bs, be in batches]
+        for p in pending:
+            p.start_fetch()  # overlap the per-batch d2h latencies
+        stats = merge_stats([p.result() for p in pending])
+        run_estimators(layout, stats, len(lengths))
+        return stats
+
     # warmup: compile + first d2h transfer
     t0 = time.time()
-    stats = compute_depth_stats(layout, tids, starts, ends, need_hist=False,
-                                trim=TRIM)
+    one_pass()
     print(f"warmup (compile+transfer-setup): {time.time()-t0:.1f}s",
           file=sys.stderr)
 
     times = []
-    for _ in range(5):
+    for _ in range(REPS):
         t0 = time.time()
-        stats = compute_depth_stats(layout, tids, starts, ends,
-                                    need_hist=False, trim=TRIM)
-        run_estimators(layout, stats, len(lengths))
+        one_pass()
         times.append(time.time() - t0)
-    best = min(times)
-    reads_per_s = n_reads / best
-    print(f"times: {[round(t,3) for t in times]}", file=sys.stderr)
+    med = float(np.median(times))
+    reads_per_s = n_reads / med
+    print(f"times: {[round(t,3) for t in times]}  median={med:.3f}s "
+          f"p90={np.quantile(times, 0.9):.3f}s", file=sys.stderr)
 
-    # single-core reference-style baseline
-    t0 = time.time()
-    baseline_numpy_scan(lengths, tids, starts, ends)
-    run_estimators(layout, stats, len(lengths))
-    base_time = time.time() - t0
+    # single-core reference-style baseline: best of 3 (the conservative
+    # comparison — machine noise should never flatter vs_baseline)
+    base_times = []
+    for _ in range(3):
+        t0 = time.time()
+        baseline_numpy_scan(lengths, tids, starts, ends)
+        base_times.append(time.time() - t0)
+    base_time = min(base_times)
     base_reads_per_s = n_reads / base_time
-    print(f"baseline single-core scan: {base_time:.3f}s "
+    print(f"baseline single-core scan: best {base_time:.3f}s of "
+          f"{[round(t,3) for t in base_times]} "
           f"({base_reads_per_s:,.0f} reads/s)", file=sys.stderr)
 
     print(json.dumps({

@@ -77,32 +77,36 @@ def _sweep_core(tids, starts, ends, valid_block, end_keep, seg_len, n_seg,
     """
 
     seg_b = tids.astype(jnp.int64)
-    # keys: seg<<33 | (pos+1)<<1 ; sentinels use pos-field 0 so they sort
-    # first within their contig; padding sorts last with key MAX
+    # keys: seg<<34 | (pos+1)<<2 | is_start<<1 ; sentinels use pos-field 0
+    # so they sort first within their contig; padding sorts last with key
+    # MAX.  The event sign travels in a key bit, so the sort carries ONE
+    # payload (i32 contig lengths on the sentinels) instead of three.
+    # Events at equal (seg, pos) now order ends-before-starts — the gap
+    # between equal positions has zero length, so no statistic changes.
     key_start = jnp.where(valid_block,
-                          (seg_b << 33) | ((starts.astype(jnp.int64) + 1) << 1),
+                          (seg_b << 34) | ((starts.astype(jnp.int64) + 1) << 2)
+                          | 2,
                           jnp.iinfo(jnp.int64).max)
     key_end = jnp.where(end_keep,
-                        (seg_b << 33) | ((ends.astype(jnp.int64) + 1) << 1),
+                        (seg_b << 34) | ((ends.astype(jnp.int64) + 1) << 2),
                         jnp.iinfo(jnp.int64).max)
     sent_seg = jnp.arange(n_seg, dtype=jnp.int64)
-    key_sent = sent_seg << 33
+    key_sent = sent_seg << 34
 
     key = jnp.concatenate([key_sent, key_start, key_end])
-    sign = jnp.concatenate([
-        jnp.zeros(n_seg, jnp.int32),
-        jnp.where(valid_block, 1, 0).astype(jnp.int32),
-        jnp.where(end_keep, -1, 0).astype(jnp.int32)])
     paylen = jnp.concatenate([
-        seg_len, jnp.zeros(tids.shape[0] * 2, jnp.int64)])
+        seg_len.astype(jnp.int32), jnp.zeros(tids.shape[0] * 2, jnp.int32)])
 
-    key_s, sign_s, paylen_s = jax.lax.sort((key, sign, paylen), num_keys=1)
+    key_s, paylen_s = jax.lax.sort((key, paylen), num_keys=1)
     is_pad = key_s == jnp.iinfo(jnp.int64).max
-    seg_s = jnp.where(is_pad, n_seg, key_s >> 33)
-    pos_s = ((key_s >> 1) & _MASK32) - 1  # sentinel -> -1
+    seg_s = jnp.where(is_pad, n_seg, key_s >> 34)
+    pos_s = ((key_s >> 2) & _MASK32) - 1  # sentinel -> -1
+    sign_s = jnp.where(is_pad | (pos_s == -1), 0,
+                       jnp.where((key_s & 2) != 0, 1, -1)).astype(jnp.int32)
 
     # forward-fill contig length from the sentinel (packed cummax)
-    length = jax.lax.cummax((seg_s << 33) + paylen_s) - (seg_s << 33)
+    length = jax.lax.cummax(
+        (seg_s << 33) + paylen_s.astype(jnp.int64)) - (seg_s << 33)
     length = jnp.where(is_pad, 0, length)
 
     # running depth; per-contig carry = running sum at the sentinel
@@ -143,7 +147,7 @@ def _sweep_core(tids, starts, ends, valid_block, end_keep, seg_len, n_seg,
 
     # per-contig boundary positions: first event (the sentinel) of each seg
     bounds = jnp.searchsorted(key_s, (jnp.arange(
-        n_seg + 1, dtype=jnp.int64) << 33))
+        n_seg + 1, dtype=jnp.int64) << 34))
     hi = jnp.clip(bounds[1:] - 1, 0)  # last event of each seg
     lo = jnp.clip(bounds[:-1] - 1, 0)  # event before the sentinel
 
@@ -190,12 +194,19 @@ def _hist_math(depth, w_len, seg_of_event, n_seg, n_bins):
 
 
 def _packed_math(starts, lens_or_ends, counts_ext, seg_len, scalar_len,
-                 n_seg, ee, need_hist, n_bins, len_mode, trim=None):
+                 n_seg, ee, need_hist, n_bins, len_mode, trim=None,
+                 start_mode="abs", first_start=None):
     """Transfer-minimal fused sweep: ONE device call, ONE packed result.
 
     The host sends, per sample:
       starts: int32[B]   block starts (grouped by contig — BAM streams
-                         are reference-sorted so this grouping is free)
+                         are reference-sorted so this grouping is free),
+                         or uint16[B] start DELTAS (start_mode="d16":
+                         starts are non-decreasing within a contig, so
+                         the column is sent as within-contig differences
+                         at 2 bytes/block and reconstructed on device
+                         with one cumsum + per-contig rebase from the
+                         first_start table)
       lens_or_ends:      block lengths as uint16 (len_mode="u16"), block
                          ends as int32 (len_mode="ends"), or a dummy when
                          every block has the same length
@@ -203,6 +214,8 @@ def _packed_math(starts, lens_or_ends, counts_ext, seg_len, scalar_len,
       counts_ext: int32[n_seg+1]  blocks per contig (+ padding count) —
                          the contig-id column is reconstructed on device
                          with a repeat, so it never crosses the link
+      first_start: int32[n_seg+1]  first block start per contig
+                         (start_mode="d16" only; dummy otherwise)
       seg_len: int64[n_seg], scalar_len: int32 scalar
 
     Returns one int64 vector [sum_w | cov_w | cov_f | max_w | gmax
@@ -217,6 +230,13 @@ def _packed_math(starts, lens_or_ends, counts_ext, seg_len, scalar_len,
     len_tab = jnp.concatenate(
         [seg_len.astype(jnp.int32), jnp.zeros(1, jnp.int32)])
     len_of = jnp.repeat(len_tab, counts_ext, total_repeat_length=B)
+    if start_mode in ("d16", "d8"):
+        cum = jnp.cumsum(starts.astype(jnp.int32))
+        bnds = jnp.cumsum(counts_ext) - counts_ext  # first index per seg run
+        base_tbl = cum[jnp.clip(bnds, 0, B - 1)]
+        base = jnp.repeat(base_tbl, counts_ext, total_repeat_length=B)
+        first = jnp.repeat(first_start, counts_ext, total_repeat_length=B)
+        starts = first + cum - base
     if len_mode == "scalar":
         ends = starts + scalar_len
     elif len_mode == "u16":
@@ -226,6 +246,11 @@ def _packed_math(starts, lens_or_ends, counts_ext, seg_len, scalar_len,
     valid_block = tids < n_seg
     end_keep = valid_block & (ends < len_of)
 
+    # with_max is pinned True: compiling the graph WITHOUT the max cummax
+    # SIGSEGVs the TPU AOT compiler (same family as the fusion bug worked
+    # around below), and the pass costs one cummax — noise next to the
+    # sort.  Callers' need_max=False is normalised away before dispatch
+    # so the jit cache holds ONE entry per shape.
     r = _sweep_core(tids, starts, ends, valid_block, end_keep, seg_len,
                     n_seg, ee, with_max=True)
     sum_w, cov_w, cov_f, max_w, gmax = r[:5]
@@ -248,7 +273,8 @@ def _packed_math(starts, lens_or_ends, counts_ext, seg_len, scalar_len,
 
 
 _sweep_packed = partial(jax.jit, static_argnames=(
-    "n_seg", "ee", "need_hist", "n_bins", "len_mode", "trim"))(_packed_math)
+    "n_seg", "ee", "need_hist", "n_bins", "len_mode", "trim",
+    "start_mode"))(_packed_math)
 
 _sweep_hist = partial(jax.jit, static_argnames=("n_seg", "n_bins"))(_hist_math)
 
@@ -505,23 +531,93 @@ def unpack_packed(layout, packed, n_seg, n_out, obs, tids, need_hist, trim,
     return out
 
 
+def encode_start_deltas(starts, counts, n_blocks):
+    """Within-contig start differences (1-2 bytes/block on the link).
+
+    BAM streams are coordinate-sorted, so starts are non-decreasing
+    within a contig and the deltas are tiny (mean spacing = contig
+    length / reads per contig).  Returns (deltas, first_start_i32, mode)
+    where mode is "d8" (u8 deltas) or "d16" (u16), or (None, None, None)
+    when a delta is negative (synthetic unsorted input) or over 65535.
+    """
+    d = np.empty(n_blocks, dtype=np.int64)
+    d[0] = 0
+    np.subtract(starts[1:], starts[:-1], out=d[1:])
+    bounds = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    nz = counts > 0
+    d[bounds[nz]] = 0  # first block of each (non-empty) contig run
+    dmax = d.max()
+    if d.min() < 0 or dmax >= (1 << 16):
+        return None, None, None
+    first_start = np.zeros(counts.shape[0] + 1, dtype=np.int32)
+    first_start[: counts.shape[0]][nz] = starts[bounds[nz]]
+    if dmax < (1 << 8):  # typical: mean spacing = contig_len/reads
+        return d.astype(np.uint8), first_start, "d8"
+    return d.astype(np.uint16), first_start, "d16"
+
+
+class PendingDepthStats:
+    """An in-flight packed sweep: the device call is dispatched, the
+    result fetch is deferred so the caller can pipeline the next batch's
+    host decode + h2d behind this batch's device compute."""
+
+    def __init__(self, dev, redo, layout, n_seg, n_out, obs, tids,
+                 need_hist, trim, n_bins):
+        self._dev = dev
+        self._redo = redo
+        self._args = (layout, n_seg, n_out, obs, tids, need_hist, trim)
+        self._n_bins = n_bins
+
+    def start_fetch(self):
+        """Begin the async device->host copy (overlaps multiple pending
+        results' d2h latency; each fetch over the tunnelled link costs
+        ~30ms serially)."""
+        try:
+            self._dev.copy_to_host_async()
+        except Exception:
+            pass
+
+    def result(self) -> DepthStats:
+        layout, n_seg, n_out, obs, tids, need_hist, trim = self._args
+        packed = np.asarray(jax.device_get(self._dev))
+        gmax = int(packed[6 * n_seg])
+        if need_hist and gmax >= self._n_bins:
+            # speculative width overflowed: one wider re-dispatch
+            self._n_bins = _bucket(gmax + 1, minimum=128)
+            packed = np.asarray(jax.device_get(self._redo(self._n_bins)))
+        return unpack_packed(layout, packed, n_seg, n_out, obs, tids,
+                             need_hist, trim, self._n_bins)
+
+
+def resolve_depth(stats):
+    return stats.result() if isinstance(stats, PendingDepthStats) else stats
+
+
 def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
-                              need_hist: bool = False,
-                              trim=None) -> DepthStats:
+                              need_hist: bool = False, trim=None,
+                              need_max: bool = True, deferred: bool = False):
     """Event-sweep drop-in for compute_depth_stats (transfer-minimal).
 
     Host cost is O(B): a bincount for the contig-id run lengths (blocks
     arrive grouped by contig because BAM streams are reference-sorted; a
     stable argsort fallback covers synthetic callers) and the padding
-    copy.  Device transfer is 4-8 bytes per block; the result is one
-    packed device->host fetch.
+    copy.  Device transfer is 2-6 bytes per block (u16 start deltas +
+    u16 lengths, or one scalar length); the result is one packed
+    device->host fetch.  With deferred=True the fetch is left in flight
+    (PendingDepthStats) so batch pipelines overlap h2d/compute/d2h.
     """
     C = layout.n_contigs
     tids = np.asarray(tids)
     starts = np.asarray(starts)
     ends = np.asarray(ends)
     if tids.size == 0 or C == 0:
-        return empty_depth_stats(C, need_hist, trim)
+        out = empty_depth_stats(C, need_hist, trim)
+        if deferred:
+            class _Done:
+                def result(self, _o=out):
+                    return _o
+            return _Done()
+        return out
 
     ee = layout.contig_end_exclusion
     n_blocks = tids.size
@@ -533,34 +629,44 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
                              seg_len_dev, n_out, need_hist, trim)
 
     B = _bucket_geo(n_blocks)
-    starts_p = np.zeros(B, dtype=np.int32)
-    starts_p[:n_blocks] = starts
-    counts_ext = np.append(counts, B - n_blocks).astype(np.int32)
-
     len_mode, scalar_len, vals = choose_payload(layout, tids, starts, ends)
+
+    start_mode = "abs"
+    first_start = np.zeros(1, dtype=np.int32)
+    deltas = None
+    if n_blocks > (1 << 14):  # shrinking the link only matters at scale
+        deltas, fs, mode = encode_start_deltas(starts, counts, n_blocks)
+        if deltas is not None:
+            start_mode, first_start = mode, fs
+    if start_mode in ("d16", "d8"):
+        starts_p = np.zeros(B, dtype=deltas.dtype)
+        starts_p[:n_blocks] = deltas
+    else:
+        starts_p = np.zeros(B, dtype=np.int32)
+        starts_p[:n_blocks] = starts
+    counts_ext = np.append(counts, B - n_blocks).astype(np.int32)
     if vals is None:
         payload = np.zeros(1, dtype=np.uint16)
     else:
         payload = np.zeros(B, dtype=vals.dtype)
         payload[:n_blocks] = vals
 
-    n_bins = SPEC_HIST_BINS
     trim_key = (float(trim[0]), float(trim[1])) if trim is not None else None
-    packed = np.asarray(jax.device_get(_sweep_packed(
-        jnp.asarray(starts_p), jnp.asarray(payload),
-        jnp.asarray(counts_ext), seg_len_dev, scalar_len,
-        n_seg, ee, need_hist, n_bins, len_mode, trim_key)))
-    gmax = int(packed[6 * n_seg])
-    if need_hist and gmax >= n_bins:
-        # speculative width overflowed: one wider re-dispatch
-        n_bins = _bucket(gmax + 1, minimum=128)
-        packed = np.asarray(jax.device_get(_sweep_packed(
-            jnp.asarray(starts_p), jnp.asarray(payload),
-            jnp.asarray(counts_ext), seg_len_dev, scalar_len,
-            n_seg, ee, need_hist, n_bins, len_mode, trim_key)))
+    d_starts = jnp.asarray(starts_p)
+    d_payload = jnp.asarray(payload)
+    d_counts = jnp.asarray(counts_ext)
+    d_first = jnp.asarray(first_start)
 
-    return unpack_packed(layout, packed, n_seg, n_out, obs, tids,
-                         need_hist, trim, n_bins)
+    def dispatch(n_bins):
+        return _sweep_packed(
+            d_starts, d_payload, d_counts, seg_len_dev, scalar_len,
+            n_seg, ee, need_hist, n_bins, len_mode, trim_key,
+            start_mode, d_first)
+
+    pending = PendingDepthStats(dispatch(SPEC_HIST_BINS), dispatch, layout,
+                                n_seg, n_out, obs, tids, need_hist, trim,
+                                SPEC_HIST_BINS)
+    return pending if deferred else pending.result()
 
 
 def _fix_hist_bin0(layout, out, hist, tids, obs, ee):

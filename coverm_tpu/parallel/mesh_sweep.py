@@ -134,7 +134,8 @@ def _pack_shards(starts_sorted, vals_sorted, offsets, counts_mat, B_local,
 
 def compute_depth_stats_sweep_mesh(layout: ReferenceLayout, tids, starts,
                                    ends, need_hist: bool = False, trim=None,
-                                   mesh: Mesh | None = None):
+                                   mesh: Mesh | None = None,
+                                   need_max: bool = True, deferred=False):
     """Drop-in for compute_depth_stats_sweep over a (dp=1, shard) mesh."""
     if mesh is None:
         mesh = make_shard_mesh()
@@ -161,21 +162,21 @@ def compute_depth_stats_sweep_mesh(layout: ReferenceLayout, tids, starts,
     n_bins = SPEC_HIST_BINS
 
     def dispatch(n_bins):
-        return np.asarray(jax.device_get(_mesh_sweep(
+        return _mesh_sweep(
             jnp.asarray(starts_p.reshape(1, -1)),
             jnp.asarray(payload_p.reshape(1, -1)),
             jnp.asarray(counts_ext.reshape(1, n_shards, n_seg + 1)),
             seg_len_dev, jnp.asarray(sl), n_seg, ee, need_hist, n_bins,
-            len_mode, trim_key, mesh)))[0]
+            len_mode, trim_key, mesh)[0]
 
-    packed = dispatch(n_bins)
-    gmax_bound = int(packed[6 * n_seg])  # psum of shard maxima (>= true max)
-    if need_hist and gmax_bound >= n_bins:
-        n_bins = _bucket(gmax_bound + 1, minimum=128)
-        packed = dispatch(n_bins)
+    from ..ops.sweep import PendingDepthStats
 
-    return unpack_packed(layout, packed, n_seg, n_out, obs, tids_s,
-                         need_hist, trim, n_bins)
+    # NOTE: the pending gmax element is a psum of shard maxima — an
+    # upper bound on the true maximum, used only to trigger (possibly
+    # over-wide, never under-wide) histogram re-dispatch.
+    pending = PendingDepthStats(dispatch(n_bins), dispatch, layout, n_seg,
+                                n_out, obs, tids_s, need_hist, trim, n_bins)
+    return pending if deferred else pending.result()
 
 
 def mesh_depth_fn(mesh: Mesh | None = None):

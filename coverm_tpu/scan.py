@@ -56,7 +56,14 @@ class SampleScan:
 
 def scan_sample(header: BamHeader, batch: RecordBatch, layout: ReferenceLayout,
                 flag_filter: FlagFilter, need_hist: bool, trim=None,
-                depth_fn=compute_depth_stats_sweep) -> SampleScan:
+                depth_fn=compute_depth_stats_sweep,
+                depth_kwargs=None) -> SampleScan:
+    if depth_kwargs is None:
+        # max depth has no consumer downstream of the scan layer; skip
+        # its cummax pass on the default engine (tests that check max
+        # call the engine directly)
+        depth_kwargs = ({"need_max": False}
+                        if depth_fn is compute_depth_stats_sweep else {})
     C = header.n_ref
     passes = flag_filter.passes(batch)
     mapped = ~batch.is_unmapped()
@@ -76,8 +83,11 @@ def scan_sample(header: BamHeader, batch: RecordBatch, layout: ReferenceLayout,
     # coverage blocks from every passing mapped record
     buse = use[batch.block_read]
     btids = batch.tid[batch.block_read[buse]]
+    # max depth has no consumer in the estimator suite (only the
+    # histogram-width heuristic needs it, which need_hist covers)
     depth = depth_fn(layout, btids, batch.block_start[buse],
-                     batch.block_end[buse], need_hist=need_hist, trim=trim)
+                     batch.block_end[buse], need_hist=need_hist, trim=trim,
+                     **depth_kwargs)
 
     observed = np.zeros(C, dtype=bool)
     observed[np.unique(tids)] = True
@@ -175,12 +185,17 @@ def _empty_scan(header: BamHeader) -> SampleScan:
 def scan_sample_batches(header: BamHeader, batches, layout: ReferenceLayout,
                         flag_filter: FlagFilter, need_hist: bool, trim=None,
                         depth_fn=compute_depth_stats_sweep) -> SampleScan:
-    """Streaming scan: per-batch scans merged by addition, with the next
-    batch decoding on a thread while the device works on the current one
-    (the batch-level analogue of modes._prefetched)."""
+    """Streaming scan, fully pipelined: per-batch depth calls are
+    dispatched DEFERRED (the device result stays in flight), so batch
+    i+1's host decode (prefetch thread) and h2d overlap batch i's device
+    compute; the per-contig results are fetched and merged by addition
+    at the end (batches are contig-disjoint, scan.merge_scans)."""
+    from .ops.sweep import resolve_depth
     from .prefetch import prefetch_iter
 
-    agg = None
+    kw = ({"depth_kwargs": {"deferred": True, "need_max": False}}
+          if depth_fn is compute_depth_stats_sweep else {})
+    scans = []
     last_max_tid = -1
     for batch in prefetch_iter(batches):
         mapped_tids = batch.tid[~batch.is_unmapped()]
@@ -190,8 +205,15 @@ def scan_sample_batches(header: BamHeader, batches, layout: ReferenceLayout,
                     "BAM file appears to be unsorted. Input BAM files must "
                     "be sorted by reference (i.e. by samtools sort)")
             last_max_tid = max(last_max_tid, int(mapped_tids.max()))
-        s = scan_sample(header, batch, layout, flag_filter, need_hist,
-                        trim=trim, depth_fn=depth_fn)
+        scans.append(scan_sample(header, batch, layout, flag_filter,
+                                 need_hist, trim=trim, depth_fn=depth_fn,
+                                 **kw))
+    for s in scans:
+        if hasattr(s.depth, "start_fetch"):
+            s.depth.start_fetch()  # overlap all d2h copies
+    agg = None
+    for s in scans:
+        s.depth = resolve_depth(s.depth)
         agg = s if agg is None else merge_scans(agg, s)
     return agg if agg is not None else _empty_scan(header)
 
