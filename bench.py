@@ -125,7 +125,8 @@ def baseline_numpy_scan(lengths, tids, starts, ends, ee=75):
 
 def main():
     from coverm_tpu.ops.depth import ReferenceLayout, start_transfer_warmup
-    from coverm_tpu.ops.sweep import compute_depth_stats_sweep
+    from coverm_tpu.ops.sweep import (DepthAccumulator,
+                                      compute_depth_stats_sweep)
     start_transfer_warmup()
     import jax
     print(f"devices: {jax.devices()}", file=sys.stderr)
@@ -139,12 +140,15 @@ def main():
     TRIM = (0.05, 0.95)
 
     def one_pass():
-        pending = [compute_depth_stats_sweep(
-            layout, bt, bs, be, need_hist=False, trim=TRIM,
-            need_max=False, deferred=True) for bt, bs, be in batches]
-        for p in pending:
-            p.start_fetch()  # overlap the per-batch d2h latencies
-        stats = merge_stats([p.result() for p in pending])
+        # per-batch sweeps are folded into one device accumulator (the
+        # batches are contig-disjoint, so the merge is exact addition);
+        # the whole pass costs ONE u8 upload per batch + ONE d2h fetch
+        acc = DepthAccumulator()
+        for bt, bs, be in batches:
+            compute_depth_stats_sweep(layout, bt, bs, be, need_hist=False,
+                                      trim=TRIM, deferred=True, acc=acc)
+        acc.start_fetch()
+        stats = acc.result()
         run_estimators(layout, stats, len(lengths))
         return stats
 

@@ -276,6 +276,94 @@ _sweep_packed = partial(jax.jit, static_argnames=(
     "n_seg", "ee", "need_hist", "n_bins", "len_mode", "trim",
     "start_mode"))(_packed_math)
 
+
+def _u8_layout(B, n_seg, start_mode, len_mode):
+    """Byte offsets of the single-upload input buffer.
+
+    The tunnelled link is LATENCY-bound (~4-5 ms per transfer call, not
+    bandwidth): shipping scalar_len + counts + first_start + starts +
+    payload as SEPARATE device puts costs 4-5 round-trip latencies per
+    batch.  One u8 buffer = one put; the device splits it with
+    bitcast_convert_type (free — layout is static).
+    """
+    start_bytes = {"abs": 4, "d16": 2, "d8": 1}[start_mode] * B
+    start_bytes = -(-start_bytes // 4) * 4
+    pay_bytes = {"scalar": 0, "u16": 2 * B, "ends": 4 * B}[len_mode]
+    hdr = 16
+    meta = 4 * (n_seg + 1)
+    o_counts = hdr
+    o_first = o_counts + meta
+    o_starts = o_first + meta
+    o_pay = o_starts + start_bytes
+    total = o_pay + pay_bytes
+    return o_counts, o_first, o_starts, o_pay, total
+
+
+def _u8_math(buf, acc, seg_len, n_seg, ee, need_hist, n_bins, len_mode,
+             trim, start_mode, B):
+    """Single-buffer variant of _packed_math (+ optional in-call merge).
+
+    buf: uint8[total] per _u8_layout; acc: None, or the previous
+    contig-disjoint batch's packed output to add in the same fused call
+    (DepthAccumulator — one d2h fetch per streaming pass).
+    """
+    from jax import lax
+
+    o_counts, o_first, o_starts, o_pay, _ = _u8_layout(
+        B, n_seg, start_mode, len_mode)
+
+    def i32(lo, n):
+        return lax.bitcast_convert_type(
+            buf[lo:lo + 4 * n].reshape(n, 4), jnp.int32)
+
+    def u16(lo, n):
+        return lax.bitcast_convert_type(
+            buf[lo:lo + 2 * n].reshape(n, 2), jnp.uint16)
+
+    scalar_len = i32(0, 1)[0]
+    counts_ext = i32(o_counts, n_seg + 1)
+    first_start = i32(o_first, n_seg + 1)
+    if start_mode == "abs":
+        starts = i32(o_starts, B)
+    elif start_mode == "d16":
+        starts = u16(o_starts, B)
+    else:
+        starts = buf[o_starts:o_starts + B]
+    if len_mode == "scalar":
+        payload = jnp.zeros(1, jnp.uint16)
+    elif len_mode == "u16":
+        payload = u16(o_pay, B)
+    else:
+        payload = i32(o_pay, B)
+
+    packed = _packed_math(starts, payload, counts_ext, seg_len, scalar_len,
+                          n_seg, ee, need_hist, n_bins, len_mode, trim,
+                          start_mode, first_start)
+    return packed if acc is None else packed + acc
+
+
+_sweep_packed_u8 = partial(jax.jit, static_argnames=(
+    "n_seg", "ee", "need_hist", "n_bins", "len_mode", "trim", "start_mode",
+    "B"))(_u8_math)
+
+
+def _pack_u8(scalar_len, counts_ext, first_start, starts_col, payload_col,
+             B, n_seg, start_mode, len_mode):
+    """Assemble the single-upload buffer (host side, one memcpy each)."""
+    o_counts, o_first, o_starts, o_pay, total = _u8_layout(
+        B, n_seg, start_mode, len_mode)
+    buf = np.zeros(total, dtype=np.uint8)
+    buf[:4] = np.asarray([scalar_len], dtype=np.int32).view(np.uint8)
+    buf[o_counts:o_counts + counts_ext.nbytes] = counts_ext.view(np.uint8)
+    fs = first_start
+    buf[o_first:o_first + fs.nbytes] = fs.view(np.uint8)
+    sc = np.ascontiguousarray(starts_col)
+    buf[o_starts:o_starts + sc.nbytes] = sc.view(np.uint8)
+    if payload_col is not None:
+        pc = np.ascontiguousarray(payload_col)
+        buf[o_pay:o_pay + pc.nbytes] = pc.view(np.uint8)
+    return buf
+
 _sweep_hist = partial(jax.jit, static_argnames=("n_seg", "n_bins"))(_hist_math)
 
 
@@ -556,6 +644,66 @@ def encode_start_deltas(starts, counts, n_blocks):
     return d.astype(np.uint16), first_start, "d16"
 
 
+class _EmptyPending:
+    """Pending that resolves to an empty DepthStats (used for empty
+    inputs and for batches whose statistics were folded into a
+    DepthAccumulator)."""
+
+    def __init__(self, C, need_hist, trim):
+        self._out = empty_depth_stats(C, need_hist, trim)
+
+    def start_fetch(self):
+        pass
+
+    def result(self):
+        return self._out
+
+
+class DepthAccumulator:
+    """Device-side merge of contig-disjoint batch sweeps.
+
+    Streaming scans cut batches at contig boundaries, so per-contig
+    statistics from different batches never overlap — merging is plain
+    addition.  Doing that addition ON DEVICE (fused into each batch's
+    packed sweep call) means a whole streaming pass costs ONE d2h fetch
+    instead of one per batch; over the tunnelled link each fetch is
+    ~20-30 ms of pure latency.
+
+    The accumulated gmax element is a SUM of batch maxima (an upper
+    bound); accumulation is therefore only engaged for need_hist=False
+    calls, where gmax has no consumer.
+    """
+
+    def __init__(self):
+        self._dev = None
+        self._meta = None
+        self._unpack = None
+
+    @property
+    def empty(self):
+        return self._dev is None
+
+    def compatible(self, meta):
+        return self._dev is None or self._meta == meta
+
+    def start_fetch(self):
+        if self._dev is not None:
+            try:
+                self._dev.copy_to_host_async()
+            except Exception:
+                pass
+
+    def result(self):
+        """One fetch -> DepthStats of everything accumulated (None if
+        nothing was)."""
+        if self._dev is None:
+            return None
+        layout, n_seg, n_out, trim = self._unpack
+        packed = np.asarray(jax.device_get(self._dev))
+        return unpack_packed(layout, packed, n_seg, n_out, None, None,
+                             False, trim, 0)
+
+
 class PendingDepthStats:
     """An in-flight packed sweep: the device call is dispatched, the
     result fetch is deferred so the caller can pipeline the next batch's
@@ -595,16 +743,21 @@ def resolve_depth(stats):
 
 def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
                               need_hist: bool = False, trim=None,
-                              need_max: bool = True, deferred: bool = False):
+                              need_max: bool = True, deferred: bool = False,
+                              acc: "DepthAccumulator | None" = None):
     """Event-sweep drop-in for compute_depth_stats (transfer-minimal).
 
     Host cost is O(B): a bincount for the contig-id run lengths (blocks
     arrive grouped by contig because BAM streams are reference-sorted; a
     stable argsort fallback covers synthetic callers) and the padding
-    copy.  Device transfer is 2-6 bytes per block (u16 start deltas +
-    u16 lengths, or one scalar length); the result is one packed
-    device->host fetch.  With deferred=True the fetch is left in flight
-    (PendingDepthStats) so batch pipelines overlap h2d/compute/d2h.
+    copy.  Device transfer is ONE u8 buffer of 1-6 bytes per block
+    (u8/u16 start deltas + u16 lengths, or one scalar length) — the
+    tunnelled link is latency-bound, so everything ships in a single
+    put.  With deferred=True the fetch is left in flight
+    (PendingDepthStats) so batch pipelines overlap h2d/compute/d2h;
+    with acc= given (and need_hist=False), the result is instead added
+    into the accumulator ON DEVICE and an empty pending is returned —
+    the caller fetches acc.result() once at the end of the stream.
     """
     C = layout.n_contigs
     tids = np.asarray(tids)
@@ -612,12 +765,7 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
     ends = np.asarray(ends)
     if tids.size == 0 or C == 0:
         out = empty_depth_stats(C, need_hist, trim)
-        if deferred:
-            class _Done:
-                def result(self, _o=out):
-                    return _o
-            return _Done()
-        return out
+        return _EmptyPending(C, need_hist, trim) if deferred else out
 
     ee = layout.contig_end_exclusion
     n_blocks = tids.size
@@ -632,7 +780,7 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
     len_mode, scalar_len, vals = choose_payload(layout, tids, starts, ends)
 
     start_mode = "abs"
-    first_start = np.zeros(1, dtype=np.int32)
+    first_start = np.zeros(n_seg + 1, dtype=np.int32)
     deltas = None
     if n_blocks > (1 << 14):  # shrinking the link only matters at scale
         deltas, fs, mode = encode_start_deltas(starts, counts, n_blocks)
@@ -646,22 +794,33 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
         starts_p[:n_blocks] = starts
     counts_ext = np.append(counts, B - n_blocks).astype(np.int32)
     if vals is None:
-        payload = np.zeros(1, dtype=np.uint16)
+        payload = None
     else:
         payload = np.zeros(B, dtype=vals.dtype)
         payload[:n_blocks] = vals
 
     trim_key = (float(trim[0]), float(trim[1])) if trim is not None else None
-    d_starts = jnp.asarray(starts_p)
-    d_payload = jnp.asarray(payload)
-    d_counts = jnp.asarray(counts_ext)
-    d_first = jnp.asarray(first_start)
+    buf = _pack_u8(scalar_len, counts_ext, first_start, starts_p, payload,
+                   B, n_seg, start_mode, len_mode)
+    d_buf = jnp.asarray(buf)
 
-    def dispatch(n_bins):
-        return _sweep_packed(
-            d_starts, d_payload, d_counts, seg_len_dev, scalar_len,
-            n_seg, ee, need_hist, n_bins, len_mode, trim_key,
-            start_mode, d_first)
+    use_acc = acc is not None and not need_hist and obs is None
+    if use_acc:
+        meta = (id(layout), n_seg, n_out, trim_key)
+        use_acc = acc.compatible(meta)
+
+    def dispatch(n_bins, acc_in=None):
+        return _sweep_packed_u8(
+            d_buf, acc_in, seg_len_dev, n_seg=n_seg, ee=ee,
+            need_hist=need_hist, n_bins=n_bins, len_mode=len_mode,
+            trim=trim_key, start_mode=start_mode, B=B)
+
+    if use_acc:
+        acc._dev = dispatch(SPEC_HIST_BINS, acc._dev)
+        acc._meta = meta
+        acc._unpack = (layout, n_seg, n_out, trim)
+        out = _EmptyPending(C, need_hist, trim)
+        return out if deferred else out.result()
 
     pending = PendingDepthStats(dispatch(SPEC_HIST_BINS), dispatch, layout,
                                 n_seg, n_out, obs, tids, need_hist, trim,

@@ -126,13 +126,10 @@ def scan_sample(header: BamHeader, batch: RecordBatch, layout: ReferenceLayout,
     )
 
 
-def merge_scans(a: SampleScan, b: SampleScan) -> SampleScan:
-    """Merge per-batch scans whose observed contigs are DISJOINT (the
-    BamStreamReader's contig-boundary batching guarantees this): every
-    per-contig statistic is zero on untouched contigs, so merging is
-    plain addition (max/min/trimmed included — only one side is ever
-    nonzero per contig)."""
-    da, db = a.depth, b.depth
+def merge_depth_stats(da: DepthStats, db: DepthStats) -> DepthStats:
+    """Merge DepthStats over DISJOINT contig sets by addition (every
+    per-contig statistic is zero on untouched contigs — max/min/trimmed
+    included, only one side is ever nonzero per contig)."""
 
     def add(x, y):
         return None if x is None else x + y
@@ -144,7 +141,7 @@ def merge_scans(a: SampleScan, b: SampleScan) -> SampleScan:
         hist = np.zeros((da.hist.shape[0], W), dtype=np.int64)
         hist[:, :wa] += da.hist
         hist[:, :wb] += db.hist
-    depth = DepthStats(
+    return DepthStats(
         sum_depth_window=da.sum_depth_window + db.sum_depth_window,
         covered_window=da.covered_window + db.covered_window,
         covered_full=da.covered_full + db.covered_full,
@@ -154,6 +151,12 @@ def merge_scans(a: SampleScan, b: SampleScan) -> SampleScan:
         sumsq_window=add(da.sumsq_window, db.sumsq_window),
         min_depth_window=add(da.min_depth_window, db.min_depth_window),
     )
+
+
+def merge_scans(a: SampleScan, b: SampleScan) -> SampleScan:
+    """Merge per-batch scans whose observed contigs are DISJOINT (the
+    BamStreamReader's contig-boundary batching guarantees this)."""
+    depth = merge_depth_stats(a.depth, b.depth)
     return SampleScan(
         header=a.header, depth=depth,
         observed=a.observed | b.observed,
@@ -190,10 +193,13 @@ def scan_sample_batches(header: BamHeader, batches, layout: ReferenceLayout,
     i+1's host decode (prefetch thread) and h2d overlap batch i's device
     compute; the per-contig results are fetched and merged by addition
     at the end (batches are contig-disjoint, scan.merge_scans)."""
-    from .ops.sweep import resolve_depth
+    from .ops.sweep import DepthAccumulator, resolve_depth
     from .prefetch import prefetch_iter
 
-    kw = ({"depth_kwargs": {"deferred": True, "need_max": False}}
+    acc = (DepthAccumulator()
+           if depth_fn is compute_depth_stats_sweep else None)
+    kw = ({"depth_kwargs": {"deferred": True, "need_max": False,
+                            "acc": acc}}
           if depth_fn is compute_depth_stats_sweep else {})
     scans = []
     last_max_tid = -1
@@ -208,6 +214,8 @@ def scan_sample_batches(header: BamHeader, batches, layout: ReferenceLayout,
         scans.append(scan_sample(header, batch, layout, flag_filter,
                                  need_hist, trim=trim, depth_fn=depth_fn,
                                  **kw))
+    if acc is not None:
+        acc.start_fetch()  # the whole pass is usually ONE pending fetch
     for s in scans:
         if hasattr(s.depth, "start_fetch"):
             s.depth.start_fetch()  # overlap all d2h copies
@@ -215,6 +223,8 @@ def scan_sample_batches(header: BamHeader, batches, layout: ReferenceLayout,
     for s in scans:
         s.depth = resolve_depth(s.depth)
         agg = s if agg is None else merge_scans(agg, s)
+    if agg is not None and acc is not None and not acc.empty:
+        agg.depth = merge_depth_stats(agg.depth, acc.result())
     return agg if agg is not None else _empty_scan(header)
 
 
