@@ -738,7 +738,9 @@ class PendingDepthStats:
 
 
 def resolve_depth(stats):
-    return stats.result() if isinstance(stats, PendingDepthStats) else stats
+    """Resolve any pending depth result (PendingDepthStats, _EmptyPending,
+    or any engine-specific deferred handle) into a concrete DepthStats."""
+    return stats.result() if hasattr(stats, "result") else stats
 
 
 def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
