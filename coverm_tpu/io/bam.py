@@ -144,6 +144,26 @@ class RecordBatch:
             data=self.data,
         )
 
+    def head(self, k: int) -> "RecordBatch":
+        """First k record rows (and their blocks) as zero-copy views.
+        block_read is non-decreasing (blocks are emitted in record
+        order), so the block cut is a searchsorted prefix."""
+        bcut = int(np.searchsorted(self.block_read, k, side="left"))
+        return RecordBatch(
+            n_records=k,
+            tid=self.tid[:k], pos=self.pos[:k], flag=self.flag[:k],
+            mapq=self.mapq[:k], nm=self.nm[:k], as_score=self.as_score[:k],
+            seq_len=self.seq_len[:k], aligned_cov=self.aligned_cov[:k],
+            aligned_single=self.aligned_single[:k],
+            aligned_pair=self.aligned_pair[:k], indels=self.indels[:k],
+            read_end=self.read_end[:k], qname_hash=self.qname_hash[:k],
+            rec_start=self.rec_start[:k], rec_end=self.rec_end[:k],
+            block_read=self.block_read[:bcut],
+            block_start=self.block_start[:bcut],
+            block_end=self.block_end[:bcut],
+            data=self.data,
+        )
+
     def qnames(self) -> list:
         """Decode query names (slow path; used by pair-filtering)."""
         out = []
@@ -306,6 +326,25 @@ def parse_records(data: bytes, start: int, end: int | None = None) -> tuple:
     """Decode the COMPLETE records in data[start:end) -> (RecordBatch,
     end_offset). Records straddling `end` are left for the caller's next
     buffer (streaming ingestion)."""
+    from . import native
+    try:
+        full = native.parse_records_full(data, start, end)
+    except ValueError as e:
+        raise BamFormatError(str(e))
+    if full is not None:
+        batch = RecordBatch(
+            n_records=full["tid"].size,
+            tid=full["tid"], pos=full["pos"], flag=full["flag"],
+            mapq=full["mapq"], nm=full["nm"], as_score=full["as_score"],
+            seq_len=full["seq_len"], aligned_cov=full["aligned_cov"],
+            aligned_single=full["aligned_cov"],  # M+I+D+X+= is the same set
+            aligned_pair=full["aligned_pair"], indels=full["indels"],
+            read_end=full["read_end"], qname_hash=full["qname_hash"],
+            rec_start=full["rec_start"], rec_end=full["rec_end"],
+            block_read=full["block_read"], block_start=full["block_start"],
+            block_end=full["block_end"], data=data,
+        )
+        return batch, full["end_off"]
     arr = np.frombuffer(data, dtype=np.uint8)
     n_bytes = len(data) if end is None else end
     off = start
@@ -495,8 +534,13 @@ class BamStreamReader:
                 yield b"".join(pend)
 
     def _run(self):
+        from ..prefetch import prefetch_iter
+
         carry = b""
-        for seg in self._segments():
+        # prefetch one segment ahead: BGZF inflate (native thread pool)
+        # overlaps record parse — the pipeline analogue of htslib's
+        # decode-thread overlap with the reference's scan thread
+        for seg in prefetch_iter(self._segments()):
             buf = carry + seg if carry else seg
             carry = b""
             start = 0
@@ -520,7 +564,7 @@ class BamStreamReader:
                 carry = buf[int(batch.rec_start[0]):]
                 continue
             cut_off = int(batch.rec_start[cut])
-            yield batch.select(np.arange(batch.n_records) < cut)
+            yield batch.head(cut)
             carry = buf[cut_off:]
         if self.header is None:
             self.header, start = _parse_header(carry)

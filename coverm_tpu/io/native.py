@@ -62,6 +62,19 @@ def get_lib():
         lib.ct_walk_refs.restype = c_i64
         lib.ct_walk_refs.argtypes = [c_u8p, c_i64, c_i64, c_i64, c_i64p,
                                      c_i64p, c_i64p]
+        c_i32p = ctypes.POINTER(ctypes.c_int32)
+        c_u16p = ctypes.POINTER(ctypes.c_uint16)
+        try:
+            lib.ct_parse_phase1.restype = c_i64
+            lib.ct_parse_phase1.argtypes = [c_u8p, c_i64, c_i64, c_i64,
+                                            c_i64p, c_i64p]
+            lib.ct_parse_phase2.restype = ctypes.c_int
+            lib.ct_parse_phase2.argtypes = [
+                c_u8p, c_i64, c_i64p, c_i64p, c_i32p, c_i32p, c_u16p, c_u8p,
+                c_i32p, c_i64p, c_i64p, c_u64p, c_i64p, c_i64p, c_i64p,
+                c_i32p, c_i64p, c_i32p, c_i32p, c_i32p, ctypes.c_int32]
+        except AttributeError:
+            pass  # stale .so without the full parser; callers fall back
         _lib = lib
         return _lib
 
@@ -168,6 +181,68 @@ def walk_refs(data, off: int, n_ref: int):
     end = lib.ct_walk_refs(_u8p(arr), arr.size, off, n_ref, _i64p(name_off),
                            _i64p(name_len), _i64p(tlen))
     return name_off, name_len, tlen, int(end)
+
+
+def parse_records_full(data, header_end: int, end: int | None = None,
+                       n_threads: int = 0):
+    """Full native record parse of the COMPLETE records in
+    [header_end, end): every RecordBatch column in one C++ pass
+    (sequential offset walk, then parallel per-record decode).
+
+    Returns a dict of arrays (+ "end_off"), or None when the native lib
+    (or the parser entry points) is unavailable.  Raises ValueError on a
+    malformed aux region, matching the python parser.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ct_parse_phase1"):
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8)
+    end = arr.size if end is None else end
+    end_off = np.zeros(1, np.int64)
+    n = lib.ct_walk_complete(_u8p(arr), end, header_end, _i64p(end_off))
+    rec_off = np.empty(n, np.int64)
+    nblocks = np.empty(n, np.int64)
+    if lib.ct_parse_phase1(_u8p(arr), end, header_end, n, _i64p(rec_off),
+                           _i64p(nblocks)) != n:
+        return None
+    csum = np.cumsum(nblocks)
+    block_base = csum - nblocks  # exclusive prefix sum
+    n_blocks = int(csum[-1]) if n else 0
+
+    def i32(k=n):
+        return np.empty(k, np.int32)
+
+    out = dict(
+        tid=i32(), pos=i32(), flag=np.empty(n, np.uint16),
+        mapq=np.empty(n, np.uint8), seq_len=i32(),
+        nm=np.empty(n, np.int64), as_score=np.empty(n, np.int64),
+        qname_hash=np.empty(n, np.uint64),
+        aligned_cov=np.empty(n, np.int64), aligned_pair=np.empty(n, np.int64),
+        indels=np.empty(n, np.int64), read_end=i32(),
+        rec_start=rec_off, rec_end=np.empty(n, np.int64),
+        block_read=i32(n_blocks), block_start=i32(n_blocks),
+        block_end=i32(n_blocks),
+    )
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 8)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    c_u16p = ctypes.POINTER(ctypes.c_uint16)
+    rc = lib.ct_parse_phase2(
+        _u8p(arr), n, _i64p(rec_off), _i64p(block_base),
+        out["tid"].ctypes.data_as(c_i32p), out["pos"].ctypes.data_as(c_i32p),
+        out["flag"].ctypes.data_as(c_u16p), _u8p(out["mapq"]),
+        out["seq_len"].ctypes.data_as(c_i32p), _i64p(out["nm"]),
+        _i64p(out["as_score"]), _u64p(out["qname_hash"]),
+        _i64p(out["aligned_cov"]), _i64p(out["aligned_pair"]),
+        _i64p(out["indels"]), out["read_end"].ctypes.data_as(c_i32p),
+        _i64p(out["rec_end"]), out["block_read"].ctypes.data_as(c_i32p),
+        out["block_start"].ctypes.data_as(c_i32p),
+        out["block_end"].ctypes.data_as(c_i32p), n_threads)
+    if rc < 0:
+        raise ValueError(
+            f"Unknown aux tag type while scanning BAM record {-rc - 1}")
+    out["end_off"] = int(out["rec_end"][-1]) if n else header_end
+    return out
 
 
 def scan_records(data, header_end: int, end: int | None = None):

@@ -221,6 +221,195 @@ int64_t ct_scan_records(const uint8_t* data, int64_t len, int64_t start,
   return n;
 }
 
+// Full single-pass record parse (the C++ form of the numpy gather parse
+// in io/bam.py parse_records, itself the analogue of htslib's record
+// accessors + the CIGAR walks of contig.rs:168-202).  Two phases:
+//   phase 1 (sequential): record offsets + per-record coverage-block
+//     counts (M/=/X CIGAR runs) -> caller prefix-sums for block offsets;
+//   phase 2 (parallel over records): fixed fields, CIGAR-derived
+//     aligned lengths / indels / blocks, aux NM+AS, FNV-1a qname hash.
+
+// Phase 1: fills rec_off[n] and nblocks[n]; returns records filled
+// (records must already be counted/cut via ct_count_records or
+// ct_walk_complete).
+int64_t ct_parse_phase1(const uint8_t* data, int64_t len, int64_t start,
+                        int64_t n, int64_t* rec_off, int64_t* nblocks) {
+  int64_t pos = start;
+  for (int64_t r = 0; r < n; r++) {
+    if (pos + 4 > len) return r;
+    uint32_t bs;
+    memcpy(&bs, data + pos, 4);
+    if (bs == 0 || pos + 4 + (int64_t)bs > len) return r;
+    rec_off[r] = pos;
+    const uint8_t* rec = data + pos + 4;
+    uint8_t l_read_name = rec[8];
+    uint16_t n_cigar;
+    memcpy(&n_cigar, rec + 12, 2);
+    const uint8_t* cig = rec + 32 + l_read_name;
+    int64_t nb = 0;
+    for (int64_t k = 0; k < n_cigar; k++) {
+      uint32_t c;
+      memcpy(&c, cig + 4 * k, 4);
+      uint32_t op = c & 0xF;
+      nb += (op == 0 || op == 7 || op == 8);  // M, =, X
+    }
+    nblocks[r] = nb;
+    pos += 4 + (int64_t)bs;
+  }
+  return n;
+}
+
+// Phase 2: parallel per-record decode.  block_base[r] is the exclusive
+// prefix sum of nblocks.  Returns 0, or -(record index+1) on a malformed
+// aux region.
+int ct_parse_phase2(const uint8_t* data, int64_t n, const int64_t* rec_off,
+                    const int64_t* block_base, int32_t* tid, int32_t* pos_out,
+                    uint16_t* flag, uint8_t* mapq, int32_t* l_seq_out,
+                    int64_t* nm, int64_t* as_score, uint64_t* qname_hash,
+                    int64_t* aligned_cov, int64_t* aligned_pair,
+                    int64_t* indels, int32_t* read_end, int64_t* rec_end,
+                    int32_t* block_read, int32_t* block_start,
+                    int32_t* block_end, int32_t n_threads) {
+  const int64_t AS_MISSING = INT64_MIN;
+  std::atomic<int64_t> next(0);
+  std::atomic<int64_t> err(0);
+  const int64_t CHUNK = 4096;
+  auto worker = [&]() {
+    while (true) {
+      int64_t lo = next.fetch_add(CHUNK);
+      if (lo >= n || err.load()) return;
+      int64_t hi = lo + CHUNK < n ? lo + CHUNK : n;
+      for (int64_t r = lo; r < hi; r++) {
+        const uint8_t* rec = data + rec_off[r] + 4;
+        uint32_t bs;
+        memcpy(&bs, data + rec_off[r], 4);
+        int64_t rec_len = bs;
+        rec_end[r] = rec_off[r] + 4 + rec_len;
+
+        memcpy(&tid[r], rec, 4);
+        memcpy(&pos_out[r], rec + 4, 4);
+        uint8_t l_read_name = rec[8];
+        mapq[r] = rec[9];
+        uint16_t n_cigar;
+        memcpy(&n_cigar, rec + 12, 2);
+        memcpy(&flag[r], rec + 14, 2);
+        int32_t l_seq;
+        memcpy(&l_seq, rec + 16, 4);
+        l_seq_out[r] = l_seq;
+
+        // FNV-1a qname hash
+        uint64_t h = 0xcbf29ce484222325ULL;
+        const uint8_t* q = rec + 32;
+        for (int i = 0; i < l_read_name - 1; i++) {
+          h ^= q[i];
+          h *= 0x100000001b3ULL;
+        }
+        qname_hash[r] = h;
+
+        // CIGAR walk: coverage blocks + aligned lengths
+        const uint8_t* cig = rec + 32 + l_read_name;
+        int64_t cursor = pos_out[r];
+        int64_t a_cov = 0, a_pair = 0, ind = 0;
+        int64_t b = block_base[r];
+        for (int64_t k = 0; k < n_cigar; k++) {
+          uint32_t c;
+          memcpy(&c, cig + 4 * k, 4);
+          uint32_t op = c & 0xF;
+          int64_t ln = c >> 4;
+          switch (op) {
+            case 0:  // M
+            case 7:  // =
+            case 8:  // X
+              block_read[b] = (int32_t)r;
+              block_start[b] = (int32_t)cursor;
+              block_end[b] = (int32_t)(cursor + ln);
+              b++;
+              a_cov += ln;
+              a_pair += ln;
+              cursor += ln;
+              break;
+            case 1:  // I: aligned, no cursor move
+              a_cov += ln;
+              a_pair += ln;
+              ind += ln;
+              break;
+            case 2:  // D: aligned (cov/single only), cursor moves
+              a_cov += ln;
+              ind += ln;
+              cursor += ln;
+              break;
+            case 3:  // N: cursor only
+              cursor += ln;
+              break;
+            default:  // S/H/P: ignored
+              break;
+          }
+        }
+        aligned_cov[r] = a_cov;
+        aligned_pair[r] = a_pair;
+        indels[r] = ind;
+        read_end[r] = (int32_t)cursor;
+
+        // aux scan: NM + AS
+        int64_t aux = 32 + l_read_name + 4LL * n_cigar + (l_seq + 1) / 2 + l_seq;
+        int64_t nm_v = -1, as_v = AS_MISSING;
+        int found = 0;
+        while (aux + 3 <= rec_len && found < 2) {
+          uint8_t t0 = rec[aux], t1 = rec[aux + 1], typ = rec[aux + 2];
+          aux += 3;
+          int64_t val = 0;
+          int has_val = 1;
+          switch (typ) {
+            case 'A':
+            case 'C': val = rec[aux]; aux += 1; break;
+            case 'c': val = (int8_t)rec[aux]; aux += 1; break;
+            case 'S': val = rec[aux] | (rec[aux + 1] << 8); aux += 2; break;
+            case 's': val = (int16_t)(rec[aux] | (rec[aux + 1] << 8)); aux += 2; break;
+            case 'I': {
+              uint32_t v; memcpy(&v, rec + aux, 4); val = v; aux += 4; break;
+            }
+            case 'i': {
+              int32_t v; memcpy(&v, rec + aux, 4); val = v; aux += 4; break;
+            }
+            case 'f': aux += 4; has_val = 0; break;
+            case 'Z':
+            case 'H': {
+              while (aux < rec_len && rec[aux] != 0) aux++;
+              aux++;
+              has_val = 0;
+              break;
+            }
+            case 'B': {
+              uint8_t sub = rec[aux];
+              uint32_t cnt; memcpy(&cnt, rec + aux + 1, 4);
+              int esz = (sub == 'c' || sub == 'C') ? 1
+                        : (sub == 's' || sub == 'S') ? 2 : 4;
+              aux += 5 + (int64_t)cnt * esz;
+              has_val = 0;
+              break;
+            }
+            default:
+              err.store(r + 1);
+              return;
+          }
+          if (has_val) {
+            if (t0 == 'N' && t1 == 'M') { nm_v = val; found++; }
+            else if (t0 == 'A' && t1 == 'S') { as_v = val; found++; }
+          }
+        }
+        nm[r] = nm_v;
+        as_score[r] = as_v;
+      }
+    }
+  };
+  int nt = n_threads < 1 ? 1 : n_threads;
+  std::vector<std::thread> threads;
+  for (int t = 1; t < nt; t++) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+  return err.load() ? -(int)err.load() : 0;
+}
+
 // Walk the reference-sequence list of a BAM header (the block after the
 // SAM text, SAM spec §4.2): n_ref entries of {l_name, name, l_ref}.
 // Fills name_off/name_len (name byte ranges, NUL excluded) and tlen.

@@ -55,15 +55,31 @@ SPEC_HIST_BINS = 512
 
 
 def _bucket_geo(n: int, minimum: int = 1024) -> int:
-    """Geometric size buckets (ratio 1.25): bounds h2d padding waste at
-    25% (the power-of-2 bucket wastes up to 100%) while keeping the
-    number of distinct compiled shapes ~log_1.25(range) ~= 40."""
+    """Geometric size buckets: bounds h2d padding waste while keeping the
+    number of distinct compiled shapes small.  Ratio 1.25 below 1M blocks
+    (25% max waste), ratio 1.5 above (each fresh compile of the fused
+    sweep costs tens of seconds on the tunnelled TPU, so the large-shape
+    family must stay small — VERDICT r2 measured a 716s warmup from
+    shape-family growth)."""
     b = minimum
     while b < n:
-        # ceil(b*1.25) rounded UP to a multiple of 128 (rounding down
+        # ceil(b*ratio) rounded UP to a multiple of 128 (rounding down
         # stalls the loop at small b, e.g. 128 -> 160 -> 128)
-        b = (-(-b * 5 // 4) + 127) // 128 * 128
+        num, den = (3, 2) if b >= (1 << 20) else (5, 4)
+        b = (-(-b * num // den) + 127) // 128 * 128
     return b
+
+
+def packed_result_len(n_seg: int, need_hist: bool, n_bins: int,
+                      has_trim: bool) -> int:
+    """Length of the packed int64 stats vector produced by _packed_math:
+    [sum_w | cov_w | cov_f | max_w | sq_w | min_w | gmax (| trim) (| hist)]."""
+    n = 6 * n_seg + 1
+    if has_trim:
+        n += n_seg
+    if need_hist:
+        n += n_seg * n_bins
+    return n
 
 
 def _sweep_core(tids, starts, ends, valid_block, end_keep, seg_len, n_seg,
@@ -301,11 +317,14 @@ def _u8_layout(B, n_seg, start_mode, len_mode):
 
 def _u8_math(buf, acc, seg_len, n_seg, ee, need_hist, n_bins, len_mode,
              trim, start_mode, B):
-    """Single-buffer variant of _packed_math (+ optional in-call merge).
+    """Single-buffer variant of _packed_math (+ in-call merge).
 
-    buf: uint8[total] per _u8_layout; acc: None, or the previous
-    contig-disjoint batch's packed output to add in the same fused call
-    (DepthAccumulator — one d2h fetch per streaming pass).
+    buf: uint8[total] per _u8_layout; acc: an int64 vector added to the
+    packed output in the same fused call — the previous contig-disjoint
+    batch's packed output (DepthAccumulator: one d2h fetch per streaming
+    pass) or zeros.  Always an array, never None, so every shape compiles
+    exactly ONE variant (each fresh compile of this kernel costs tens of
+    seconds on the tunnelled TPU).
     """
     from jax import lax
 
@@ -339,7 +358,7 @@ def _u8_math(buf, acc, seg_len, n_seg, ee, need_hist, n_bins, len_mode,
     packed = _packed_math(starts, payload, counts_ext, seg_len, scalar_len,
                           n_seg, ee, need_hist, n_bins, len_mode, trim,
                           start_mode, first_start)
-    return packed if acc is None else packed + acc
+    return packed + acc
 
 
 _sweep_packed_u8 = partial(jax.jit, static_argnames=(
@@ -743,6 +762,49 @@ def resolve_depth(stats):
     return stats.result() if hasattr(stats, "result") else stats
 
 
+def prewarm_sweep(n_blocks: int, n_contigs: int, ee: int,
+                  need_hist: bool = False, trim=None,
+                  len_mode: str = "scalar", start_mode: str = "abs",
+                  n_bins: int = SPEC_HIST_BINS):
+    """Compile the fused sweep for an anticipated shape ahead of the data.
+
+    Invokes the jitted kernel once on zero-filled inputs of the bucketed
+    shape on a background thread, so the XLA compile (tens of seconds per
+    shape on the tunnelled TPU) overlaps host-side work such as BAM
+    decode.  Returns the started (non-daemon) Thread; join it to block
+    until the executable is ready.  Exceptions are swallowed — prewarm is
+    best-effort and the real call would surface any genuine failure.
+    """
+    import threading
+
+    B = _bucket_geo(n_blocks)
+    n_seg = _bucket(n_contigs, minimum=8)
+    trim_key = (float(trim[0]), float(trim[1])) if trim is not None else None
+    o_counts, _o_first, _o_starts, _o_pay, total = _u8_layout(
+        B, n_seg, start_mode, len_mode)
+    buf = np.zeros(total, dtype=np.uint8)
+    counts_ext = np.zeros(n_seg + 1, dtype=np.int32)
+    counts_ext[-1] = B  # every block is padding: valid, trivial work
+    buf[o_counts:o_counts + counts_ext.nbytes] = counts_ext.view(np.uint8)
+
+    def run():
+        try:
+            acc = jnp.zeros(packed_result_len(n_seg, need_hist, n_bins,
+                                              trim_key is not None),
+                            jnp.int64)
+            r = _sweep_packed_u8(
+                jnp.asarray(buf), acc, jnp.zeros(n_seg, jnp.int64),
+                n_seg=n_seg, ee=ee, need_hist=need_hist, n_bins=n_bins,
+                len_mode=len_mode, trim=trim_key, start_mode=start_mode, B=B)
+            jax.block_until_ready(r)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=run, name=f"prewarm-sweep-{B}")
+    t.start()
+    return t
+
+
 def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
                               need_hist: bool = False, trim=None,
                               need_max: bool = True, deferred: bool = False,
@@ -812,6 +874,12 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
         use_acc = acc.compatible(meta)
 
     def dispatch(n_bins, acc_in=None):
+        if acc_in is None:
+            # zeros accumulator: keeps the jit signature uniform so every
+            # (shape, flags) combination compiles exactly one variant
+            acc_in = jnp.zeros(
+                packed_result_len(n_seg, need_hist, n_bins,
+                                  trim_key is not None), jnp.int64)
         return _sweep_packed_u8(
             d_buf, acc_in, seg_len_dev, n_seg=n_seg, ee=ee,
             need_hist=need_hist, n_bins=n_bins, len_mode=len_mode,
