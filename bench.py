@@ -1,191 +1,330 @@
-"""Benchmark: aligned reads/s for depth accumulation + estimator suite.
+"""Benchmark: aligned reads/s/chip through the PRODUCTION call path.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Workload: a synthetic metagenomic sample — 32 contigs x 1 Mbp, 20x
-coverage with 150 bp single-block reads (~4.3M aligned reads) — pushed
-through the production streaming pipeline: contig-disjoint batches (the
-BamStreamReader shape), each dispatched DEFERRED to the transfer-minimal
-event-sweep engine (u16 start-delta upload, device sort + scans,
-variance from moments, trimmed mean from device rank queries), so batch
-i+1's host prep + h2d overlap batch i's device compute; per-contig
-results are fetched and merged at the end, then the vectorised
-estimator suite (mean, trimmed_mean, variance, covered_fraction) runs.
+Workload: a synthetic metagenomic sample — 32 contigs x 1 Mbp at 20x
+coverage with 150 bp reads (~4.27M aligned reads) — written ONCE as a
+real BGZF BAM (~0.6 GB compressed / 1.2 GB decoded), then measured
+END TO END through exactly the code `coverm-tpu contig -b sample.bam -m
+mean trimmed_mean variance covered_fraction` runs on one chip:
+BamFileSource -> BamStreamReader (native multi-threaded BGZF inflate,
+C++ record parse, contig-boundary batches) -> scan_sample_batches
+(device event-sweep with on-device accumulator, ONE d2h fetch) ->
+vectorised estimator suite -> streaming taker.
 
-Reported value is the MEDIAN over reps (VERDICT r1: min-of-N hid ~10x
-recompilation outliers; the per-rep times are printed to stderr).
-
-vs_baseline is the speedup over a single-core CoverM-style streaming
-scan (numpy ups-and-downs + prefix sum + bincount), the reference's
-concurrency model (SURVEY.md §6: the reference publishes no numbers;
-its scan is single-threaded per sample).
+The primary metric is decode-INCLUSIVE (VERDICT r2: the host BAM decode
+is a large fraction of real wall time and must be inside the
+measurement).  Also reported:
+  - device_only_reads_per_s: the depth-accumulation + estimator engine
+    fed from pre-decoded block arrays (the r01/r02 metric, for
+    continuity);
+  - warmup_s: wall time from "BAM exists" to the end of the first
+    production pass — XLA compiles (overlapped with the untimed decode
+    pass via sweep.prewarm_sweep + the persistent compile cache) and the
+    tunnelled TPU's one-time d2h channel setup (overlapped with the BAM
+    fixture build when that runs);
+  - baseline_reads_per_s: a single-core CoverM-style scan (numpy
+    ups-and-downs + prefix sum + bincount, the reference's concurrency
+    model, SURVEY.md §6) fed by the SAME decoded stream — generous to
+    the baseline (it gets our multi-threaded decode for free), so
+    vs_baseline isolates the compute engine and never flatters the TPU.
+    The true Rust reference binary cannot be built here (no cargo in the
+    image); the reference publishes no numbers of its own (BASELINE.md).
 """
 
 import json
+import os
+import struct
 import sys
 import time
 
 import numpy as np
 
-N_BATCHES = 8
-REPS = 7
+N_CONTIGS = 32
+CONTIG_LEN = 1_000_000
+COVERAGE = 20
+READ_LEN = 150
+SEED = 0
+REPS = 5
+TRIM = (0.05, 0.95)
+EE = 75
+BAM_PATH = os.environ.get("COVERM_TPU_BENCH_BAM",
+                          "/tmp/coverm_tpu_bench_r3.bam")
+META_PATH = BAM_PATH + ".meta.json"
+FIXTURE_VERSION = 3
 
 
-def make_workload(n_contigs=32, contig_len=1_000_000, coverage=20, read_len=150,
-                  seed=0):
-    rng = np.random.default_rng(seed)
-    n_reads = n_contigs * contig_len * coverage // read_len
-    lengths = np.full(n_contigs, contig_len, dtype=np.int64)
-    tids = rng.integers(0, n_contigs, n_reads)
-    starts = (rng.random(n_reads) * (contig_len - 1)).astype(np.int64)
-    # coordinate-sorted, as any real BAM stream delivers blocks
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_bam(path):
+    """Vectorised synthetic-BAM writer: coordinate-sorted 150M reads with
+    random seq/qual (so BGZF decode does realistic work) and NM aux."""
+    rng = np.random.default_rng(SEED)
+    n_reads = N_CONTIGS * CONTIG_LEN * COVERAGE // READ_LEN
+    t0 = time.time()
+    tids = np.sort(rng.integers(0, N_CONTIGS, n_reads)).astype(np.int32)
+    starts = (rng.random(n_reads) * (CONTIG_LEN - 1)).astype(np.int32)
     order = np.lexsort((starts, tids))
     tids, starts = tids[order], starts[order]
-    ends = np.minimum(starts + read_len, contig_len)
-    return lengths, tids, starts, ends, n_reads
+
+    LNAME, LSEQ = 10, READ_LEN
+    seq_b = (LSEQ + 1) // 2
+    rec_size = 4 + 32 + LNAME + 4 + seq_b + LSEQ + 4
+    rec = np.zeros((n_reads, rec_size), dtype=np.uint8)
+
+    def put_i32(col, vals):
+        v = np.asarray(vals, dtype=np.int64)
+        for k in range(4):
+            rec[:, col + k] = (v >> (8 * k)) & 0xFF
+
+    put_i32(0, rec_size - 4)            # block_size
+    put_i32(4, tids)                    # refID
+    put_i32(8, starts)                  # pos
+    rec[:, 12] = LNAME
+    rec[:, 13] = 60                     # mapq
+    rec[:, 16] = 1                      # n_cigar
+    put_i32(20, LSEQ)                   # l_seq
+    put_i32(24, -1)                     # next_refID
+    put_i32(28, -1)                     # next_pos
+    rec[:, 36] = ord("r")
+    idx = np.arange(n_reads, dtype=np.int64)
+    for k in range(8):
+        rec[:, 37 + k] = ord("0") + (idx // 10 ** (7 - k)) % 10
+    put_i32(46, (READ_LEN << 4) | 0)    # CIGAR: 150M
+    nyb = rng.choice(np.array([1, 2, 4, 8], np.uint8), (n_reads, LSEQ))
+    rec[:, 50:50 + seq_b] = (nyb[:, 0::2] << 4) | nyb[:, 1::2]
+    rec[:, 50 + seq_b:50 + seq_b + LSEQ] = rng.integers(
+        30, 41, (n_reads, LSEQ), dtype=np.uint8)
+    a0 = 50 + seq_b + LSEQ
+    rec[:, a0] = ord("N"); rec[:, a0 + 1] = ord("M"); rec[:, a0 + 2] = ord("C")
+    rec[:, a0 + 3] = rng.integers(0, 3, n_reads, dtype=np.uint8)
+
+    hdr = bytearray(b"BAM\x01")
+    text = b"".join(b"@SQ\tSN:c%d\tLN:%d\n" % (i, CONTIG_LEN)
+                    for i in range(N_CONTIGS))
+    hdr += struct.pack("<i", len(text)) + text
+    hdr += struct.pack("<i", N_CONTIGS)
+    for i in range(N_CONTIGS):
+        nb = b"c%d\x00" % i
+        hdr += struct.pack("<i", len(nb)) + nb + struct.pack("<I", CONTIG_LEN)
+
+    from coverm_tpu.io import bgzf
+    buf = rec.reshape(-1).tobytes()
+    with open(path + ".tmp", "wb") as f:
+        f.write(bgzf.compress_block(bytes(hdr), 1))
+        step = 0xFF00
+        for o in range(0, len(buf), step):
+            f.write(bgzf.compress_block(buf[o:o + step], 1))
+        f.write(bgzf.BGZF_EOF)
+    os.replace(path + ".tmp", path)
+    with open(META_PATH, "w") as f:
+        json.dump({"version": FIXTURE_VERSION, "n_reads": int(n_reads)}, f)
+    log(f"BAM fixture built in {time.time()-t0:.1f}s: "
+        f"{os.path.getsize(path)/1e9:.2f} GB compressed, {n_reads} reads")
+    return n_reads
 
 
-def split_batches(lengths, tids, starts, ends, n_batches):
-    """Contig-disjoint batches, the shape BamStreamReader delivers."""
-    n_contigs = len(lengths)
-    per = -(-n_contigs // n_batches)
-    bounds = np.searchsorted(tids, np.arange(0, n_contigs + per, per))
-    out = []
-    for i in range(len(bounds) - 1):
-        lo, hi = bounds[i], bounds[i + 1]
-        if hi > lo:
-            out.append((tids[lo:hi], starts[lo:hi], ends[lo:hi]))
-    return out
+def ensure_bam():
+    if os.path.exists(BAM_PATH) and os.path.exists(META_PATH):
+        try:
+            with open(META_PATH) as f:
+                meta = json.load(f)
+            if meta.get("version") == FIXTURE_VERSION:
+                log(f"BAM fixture reused: {BAM_PATH} "
+                    f"({os.path.getsize(BAM_PATH)/1e9:.2f} GB)")
+                return meta["n_reads"]
+        except Exception:
+            pass
+    return build_bam(BAM_PATH)
 
 
-def merge_stats(parts):
-    """Merge contig-disjoint DepthStats by addition (scan.merge_scans
-    semantics: only one part is nonzero per contig)."""
-    out = parts[0]
-    for p in parts[1:]:
-        out.sum_depth_window += p.sum_depth_window
-        out.covered_window += p.covered_window
-        out.covered_full += p.covered_full
-        out.max_depth_window += p.max_depth_window
-        out.sumsq_window += p.sumsq_window
-        out.min_depth_window += p.min_depth_window
-        if out.trimmed_sum is not None:
-            out.trimmed_sum += p.trimmed_sum
-    return out
-
-
-def run_estimators(layout, stats, n_contigs):
-    """Vectorised estimator evaluation (the engine's contig-mode path):
-    variance from moments, trimmed mean from device rank sums — no
-    histogram involved."""
-    from coverm_tpu.estimators import (MeanEstimator, TrimmedMeanEstimator,
-                                       VarianceEstimator,
-                                       CoveredFractionEstimator, BatchStats)
-    ests = [MeanEstimator(0.0, 75, False),
-            TrimmedMeanEstimator(0.05, 0.95, 0.0, 75),
-            VarianceEstimator(0.0, 75),
+def make_estimators():
+    from coverm_tpu.estimators import (CoveredFractionEstimator,
+                                       MeanEstimator, TrimmedMeanEstimator,
+                                       VarianceEstimator)
+    return [MeanEstimator(0.0, EE, False),
+            TrimmedMeanEstimator(TRIM[0], TRIM[1], 0.0, EE),
+            VarianceEstimator(0.0, EE),
             CoveredFractionEstimator(0.0)]
-    ee = 75
-    lens = layout.lengths
-    zeros = np.zeros(n_contigs, dtype=np.int64)
-    b = BatchStats(
-        total_count=stats.sum_depth_window,
-        total_bases_window=np.where(lens > 2 * ee, lens - 2 * ee, 0),
-        covered_window=stats.covered_window,
-        total_bases_full=lens,
-        covered_full=stats.covered_full,
-        observed_length_full=lens,
-        reads=zeros, mismatches=zeros, sum_identity=zeros.astype(float),
-        hist=stats.hist,
-        sumsq_window=stats.sumsq_window,
-        min_depth_window=stats.min_depth_window,
-        trimmed_sum=stats.trimmed_sum,
-    )
-    return np.stack([e.calculate_batch(b) for e in ests])
 
 
-def baseline_numpy_scan(lengths, tids, starts, ends, ee=75):
-    """Single-core CoverM-style scan: per-contig delta array, serial
-    prefix sum, histogram walk."""
-    order = np.argsort(tids, kind="stable")
-    tids, starts, ends = tids[order], starts[order], ends[order]
-    bounds = np.searchsorted(tids, np.arange(len(lengths) + 1))
-    for c in range(len(lengths)):
-        lo, hi = bounds[c], bounds[c + 1]
-        ln = int(lengths[c])
-        delta = np.zeros(ln + 1, dtype=np.int32)
-        np.add.at(delta, starts[lo:hi], 1)
-        e = ends[lo:hi]
-        np.add.at(delta, e[e < ln], -1)
-        depth = np.cumsum(delta[:ln])
-        w = depth[ee: ln - ee]
-        w.sum(), (w > 0).sum(), (depth > 0).sum()
-        np.bincount(w)
+def production_pass(devnull):
+    """Exactly what `coverm-tpu contig -b BAM -m mean trimmed_mean
+    variance covered_fraction` runs (modes.contig_coverage with a
+    streaming taker); returns per-sample ReadsMapped."""
+    from coverm_tpu.flags import FlagFilter
+    from coverm_tpu.modes import BamFileSource, contig_coverage
+    from coverm_tpu.takers import OutputWriter, StreamingCoverageTaker
+
+    source = BamFileSource(BAM_PATH)
+    taker = StreamingCoverageTaker(OutputWriter(fileobj=devnull))
+    return contig_coverage([source], taker, make_estimators(),
+                           print_zero_coverage_contigs=True,
+                           flag_filter=FlagFilter())
 
 
-def main():
-    from coverm_tpu.ops.depth import ReferenceLayout, start_transfer_warmup
+def decode_blocks():
+    """Untimed decode pass: per-batch block arrays + the exact dispatch
+    signatures the production engine will compile for."""
+    from coverm_tpu.io.bam import BamStreamReader
+    from coverm_tpu.ops.depth import ReferenceLayout, _bucket
+    from coverm_tpu.ops.sweep import choose_payload, encode_start_deltas
+
+    header, gen = BamStreamReader(BAM_PATH).read()
+    layout = ReferenceLayout.build(header.target_lens, EE)
+    batches, sigs = [], set()
+    for b in gen:
+        t, s, e = (b.tid[b.block_read].astype(np.int64),
+                   b.block_start[:].astype(np.int64),
+                   b.block_end[:].astype(np.int64))
+        batches.append((t, s, e))
+        n_seg = _bucket(header.n_ref, minimum=8)
+        counts = np.bincount(t.astype(np.int32), minlength=n_seg)
+        len_mode, _sl, _v = choose_payload(layout, t, s, e)
+        start_mode = "abs"
+        if t.size > (1 << 14):
+            _d, _f, mode = encode_start_deltas(s, counts, t.size)
+            if mode is not None:
+                start_mode = mode
+        sigs.add((t.size, header.n_ref, len_mode, start_mode))
+    return header, layout, batches, sigs
+
+
+def device_only(layout, batches, n_reads):
+    """The r01/r02 metric: accumulator sweep + estimator suite from
+    pre-decoded block arrays."""
+    from coverm_tpu.estimators import BatchStats
     from coverm_tpu.ops.sweep import (DepthAccumulator,
                                       compute_depth_stats_sweep)
-    start_transfer_warmup()
-    import jax
-    print(f"devices: {jax.devices()}", file=sys.stderr)
 
-    lengths, tids, starts, ends, n_reads = make_workload()
-    layout = ReferenceLayout.build(lengths, 75)
-    batches = split_batches(lengths, tids, starts, ends, N_BATCHES)
-    print(f"{len(batches)} contig-disjoint batches, sizes "
-          f"{[len(b[0]) for b in batches]}", file=sys.stderr)
-
-    TRIM = (0.05, 0.95)
+    ests = make_estimators()
+    lens = layout.lengths
 
     def one_pass():
-        # per-batch sweeps are folded into one device accumulator (the
-        # batches are contig-disjoint, so the merge is exact addition);
-        # the whole pass costs ONE u8 upload per batch + ONE d2h fetch
         acc = DepthAccumulator()
         for bt, bs, be in batches:
             compute_depth_stats_sweep(layout, bt, bs, be, need_hist=False,
                                       trim=TRIM, deferred=True, acc=acc)
         acc.start_fetch()
-        stats = acc.result()
-        run_estimators(layout, stats, len(lengths))
-        return stats
+        d = acc.result()
+        zeros = np.zeros(len(lens), dtype=np.int64)
+        b = BatchStats(
+            total_count=d.sum_depth_window,
+            total_bases_window=np.where(lens > 2 * EE, lens - 2 * EE, 0),
+            covered_window=d.covered_window, total_bases_full=lens,
+            covered_full=d.covered_full, observed_length_full=lens,
+            reads=zeros, mismatches=zeros,
+            sum_identity=zeros.astype(float), hist=d.hist,
+            sumsq_window=d.sumsq_window, min_depth_window=d.min_depth_window,
+            trimmed_sum=d.trimmed_sum)
+        return np.stack([e.calculate_batch(b) for e in ests])
 
-    # warmup: compile + first d2h transfer
-    t0 = time.time()
-    one_pass()
-    print(f"warmup (compile+transfer-setup): {time.time()-t0:.1f}s",
-          file=sys.stderr)
-
+    one_pass()  # residual warmup (shapes normally already compiled)
     times = []
     for _ in range(REPS):
         t0 = time.time()
         one_pass()
         times.append(time.time() - t0)
     med = float(np.median(times))
-    reads_per_s = n_reads / med
-    print(f"times: {[round(t,3) for t in times]}  median={med:.3f}s "
-          f"p90={np.quantile(times, 0.9):.3f}s", file=sys.stderr)
+    log(f"device-only times: {[round(t,3) for t in times]} median={med:.3f}s")
+    return n_reads / med
 
-    # single-core reference-style baseline: best of 3 (the conservative
-    # comparison — machine noise should never flatter vs_baseline)
-    base_times = []
-    for _ in range(3):
+
+def baseline(n_reads):
+    """Single-core CoverM-style scan over the SAME decoded stream:
+    per-contig ups-and-downs delta array, serial prefix sum, window
+    reductions + histogram walk (the reference's single-threaded scan,
+    contig.rs:144-202 / estimators.rs:396-466)."""
+    from coverm_tpu.io.bam import BamStreamReader
+
+    times = []
+    for _ in range(2):
         t0 = time.time()
-        baseline_numpy_scan(lengths, tids, starts, ends)
-        base_times.append(time.time() - t0)
-    base_time = min(base_times)
-    base_reads_per_s = n_reads / base_time
-    print(f"baseline single-core scan: best {base_time:.3f}s of "
-          f"{[round(t,3) for t in base_times]} "
-          f"({base_reads_per_s:,.0f} reads/s)", file=sys.stderr)
+        header, gen = BamStreamReader(BAM_PATH).read()
+        lens = header.target_lens
+        for b in gen:
+            t = b.tid[b.block_read]
+            s = b.block_start
+            e = b.block_end
+            for c in np.unique(t):
+                ln = int(lens[c])
+                m = t == c
+                delta = np.zeros(ln + 1, dtype=np.int32)
+                np.add.at(delta, s[m], 1)
+                ee_ends = e[m]
+                np.add.at(delta, ee_ends[ee_ends < ln], -1)
+                depth = np.cumsum(delta[:ln])
+                w = depth[EE: ln - EE]
+                w.sum(), (w > 0).sum(), (depth > 0).sum()
+                np.bincount(w)
+        times.append(time.time() - t0)
+    best = min(times)
+    log(f"baseline single-core scan (decode-inclusive): best {best:.2f}s "
+        f"of {[round(t,2) for t in times]}")
+    return n_reads / best
+
+
+def main():
+    from coverm_tpu.ops.depth import start_transfer_warmup
+
+    t_start = time.time()
+    start_transfer_warmup()  # d2h channel setup runs in the background
+    import jax
+    log(f"devices: {jax.devices()}")
+
+    n_reads = ensure_bam()
+    t_warm0 = time.time()
+
+    # untimed decode pass: block arrays for the device-only metric +
+    # exact kernel signatures; compiles overlap this via prewarm threads
+    header, layout, batches, sigs = decode_blocks()
+    log(f"{len(batches)} contig-disjoint batches, block counts "
+        f"{[len(b[0]) for b in batches]}; kernel signatures {sorted(sigs)}")
+    from coverm_tpu.ops.sweep import prewarm_sweep
+    threads = [prewarm_sweep(nb, nref, EE, need_hist=False, trim=TRIM,
+                             len_mode=lm, start_mode=sm)
+               for nb, nref, lm, sm in sigs]
+    for t in threads:
+        t.join()
+    log(f"prewarm joined at +{time.time()-t_warm0:.1f}s")
+
+    devnull = open(os.devnull, "w")
+    rm = production_pass(devnull)  # first pass: d2h setup + residual compile
+    warmup_s = time.time() - t_warm0
+    log(f"warmup (compile + d2h channel setup + first pass): {warmup_s:.1f}s")
+    assert rm[0].num_reads == n_reads, (rm[0], n_reads)
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.time()
+        production_pass(devnull)
+        times.append(time.time() - t0)
+    med = float(np.median(times))
+    prod_rps = n_reads / med
+    log(f"production-path times: {[round(t,2) for t in times]} "
+        f"median={med:.2f}s p90={np.quantile(times, 0.9):.2f}s "
+        f"({prod_rps:,.0f} reads/s decode-inclusive)")
+
+    dev_rps = device_only(layout, batches, n_reads)
+    log(f"device-only: {dev_rps:,.0f} reads/s")
+
+    base_rps = baseline(n_reads)
+    log(f"baseline: {base_rps:,.0f} reads/s")
 
     print(json.dumps({
-        "metric": "aligned reads/s/chip (depth accumulation + estimator suite)",
-        "value": round(reads_per_s),
+        "metric": "aligned reads/s/chip (BAM-file-in production path: "
+                  "decode + depth accumulation + estimator suite)",
+        "value": round(prod_rps),
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_s / base_reads_per_s, 3),
+        "vs_baseline": round(prod_rps / base_rps, 3),
+        "warmup_s": round(warmup_s, 1),
+        "device_only_reads_per_s": round(dev_rps),
+        "baseline_reads_per_s": round(base_rps),
+        "n_reads": n_reads,
+        "bam_bytes": os.path.getsize(BAM_PATH),
+        "total_s": round(time.time() - t_start, 1),
     }))
 
 
