@@ -425,6 +425,14 @@ def filter_params_from_args(args) -> FilterParams:
 
 def main(argv=None):
     import sys
+
+    # Multi-host startup (before any JAX backend use): `coverm-tpu ...`
+    # launched once per host under COVERM_TPU_COORDINATOR/_NUM_PROCESSES/
+    # _PROCESS_ID becomes one SPMD job (parallel/distributed.py). The
+    # reference is strictly single-host; this is new capability.
+    from .parallel.distributed import maybe_initialize
+    maybe_initialize()
+
     argv = list(sys.argv[1:] if argv is None else argv)
     parser = build_parser()
     # --full-help/--full-help-roff: man-page output per subcommand

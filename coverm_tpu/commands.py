@@ -120,7 +120,9 @@ def _genome_exclusion_of(args):
 
 
 def run_contig(args):
-    stream = OutputWriter(args.output_file)
+    from .parallel.distributed import suppress_output
+    stream = (OutputWriter(os.devnull) if suppress_output()
+              else OutputWriter(args.output_file))
     et = EstimatorsAndTaker(args, stream)
     entry_type = "Gene\tContig" if args.gff else "Contig"
     et.print_headers(entry_type, stream)
@@ -239,7 +241,9 @@ def run_genome(args):
             "Either a separator (-s) or path(s) to genome FASTA files "
             "(with -d or -f) must be given")
 
-    stream = OutputWriter(args.output_file)
+    from .parallel.distributed import suppress_output
+    stream = (OutputWriter(os.devnull) if suppress_output()
+              else OutputWriter(args.output_file))
     et = EstimatorsAndTaker(args, stream)
     et.print_headers("Gene\tContig\tGenome" if args.gff else "Genome", stream)
     sources, ff = _build_sources(args)

@@ -140,6 +140,10 @@ def _mesh_depth_fn():
 
     if os.environ.get("COVERM_TPU_MESH", "auto") == "0":
         return None
+    if jax.process_count() > 1:
+        # multi-host job: one global mesh over every process's devices
+        from .parallel.distributed import make_global_mesh, multihost_depth_fn
+        return multihost_depth_fn(make_global_mesh())
     if len(jax.local_devices()) < 2:
         return None
     from .parallel.mesh_sweep import make_shard_mesh, mesh_depth_fn
@@ -164,6 +168,8 @@ def _scanned(sources, layout_for_fn, flag_filter, need_hist, trim=None):
     workers = min(len(sources), len(devs))
     if os.environ.get("COVERM_TPU_MESH", "auto") == "1":
         workers = 1  # force every scan through the mesh engine
+    if jax.process_count() > 1:
+        workers = 1  # SPMD: every process scans every sample on the global mesh
     if workers <= 1:
         depth_fn = _mesh_depth_fn()
         kw = {"depth_fn": depth_fn} if depth_fn is not None else {}
