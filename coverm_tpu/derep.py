@@ -418,15 +418,19 @@ def dereplicate(args, genome_fasta_files):
                               is not None else getattr(args, k, dflt))
     method = (g("cluster_method", "skani") or "skani").lower()
     if method in ("skani", "fastani"):
+        # fail loudly like the reference does when its ANI engine is
+        # missing (galah checks its skani/fastANI dependency up front);
+        # the built-in sketch engine must be requested EXPLICITLY
+        # (--cluster-method sketch) because sketch estimates are not
+        # alignment ANI and silently swapping them would change results
+        # under identical flags
         import shutil
         exe = {"skani": "skani", "fastani": "fastANI"}[method]
         if shutil.which(exe) is None:
-            import logging
-            logging.getLogger("coverm_tpu").warning(
-                "--cluster-method %s: %s not found on $PATH; using the "
-                "built-in FracMinHash sketch ANI instead (sketch estimates, "
-                "not alignment ANI)", method, exe)
-            method = "sketch"
+            raise SystemExit(
+                f"Error: --cluster-method {method} requires the {exe} "
+                "executable on $PATH. Install it, or explicitly request "
+                "the built-in sketch engine with --cluster-method sketch.")
     clusterer = Clusterer(
         genome_paths=combined,
         ani=float(getattr(args, "dereplication_ani", None)

@@ -25,7 +25,7 @@ import struct
 import numpy as np
 
 from .io import bgzf
-from .io.bam import BamStreamReader, parse_records
+from .io.bam import BamStreamReader, _cat, parse_records
 from .readfilter import apply_read_filter
 
 
@@ -53,7 +53,7 @@ class _HeaderCopier:
             if self._state == "magic":
                 if p + 8 > n:
                     break
-                if buf[p:p + 4] != b"BAM\x01":
+                if bytes(buf[p:p + 4]) != b"BAM\x01":
                     from .io.bam import BamFormatError
                     raise BamFormatError("Not a BAM file (bad magic)")
                 (l_text,) = struct.unpack_from("<I", buf, p + 4)
@@ -133,7 +133,7 @@ def stream_filter_bam(in_path: str, out_path: str, params, flag_filters,
                 w.write(data[starts[a]:ends[b]])
 
         for seg in reader._segments():
-            buf = carry + seg if carry else seg
+            buf = _cat(carry, seg)
             carry = b""
             start = 0
             if not hc.done:
@@ -160,7 +160,7 @@ def stream_filter_bam(in_path: str, out_path: str, params, flag_filters,
             else:
                 emit(batch)
                 carry = buf[end_off:]
-        if carry:
+        if len(carry):
             if not hc.done:
                 start = hc.feed(carry)
                 if not hc.done:
@@ -168,7 +168,8 @@ def stream_filter_bam(in_path: str, out_path: str, params, flag_filters,
                     raise TruncatedHeaderError(
                         f"BAM header of {in_path} is truncated")
                 carry = carry[start:]
-                batch, _ = parse_records(carry, 0) if carry else (None, 0)
+                batch, _ = (parse_records(carry, 0) if len(carry)
+                            else (None, 0))
             else:
                 batch, _ = parse_records(carry, 0)
             if batch is not None:

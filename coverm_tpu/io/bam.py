@@ -192,8 +192,25 @@ _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
 
-def _parse_header(data: bytes):
-    if data[:4] != b"BAM\x01":
+def _as_u8(data) -> np.ndarray:
+    """Zero-copy uint8 view of a bytes / bytearray / ndarray buffer."""
+    if isinstance(data, np.ndarray):
+        return data
+    return np.frombuffer(data, dtype=np.uint8)
+
+
+def _cat(carry, seg):
+    """Concatenate two byte buffers of either kind; zero-copy when carry
+    is empty (the streaming common case)."""
+    if carry is None or len(carry) == 0:
+        return seg
+    if isinstance(carry, np.ndarray) or isinstance(seg, np.ndarray):
+        return np.concatenate([_as_u8(carry), _as_u8(seg)])
+    return carry + seg
+
+
+def _parse_header(data):
+    if bytes(data[:4]) != b"BAM\x01":
         raise BamFormatError("Not a BAM file (bad magic)")
     # l_text is unsigned in practice: htslib round-trips >2 GiB SAM
     # headers (test_cmdline.rs:4212 writes a 2.5 GB header)
@@ -201,7 +218,7 @@ def _parse_header(data: bytes):
     if 8 + l_text + 4 > len(data):
         raise TruncatedHeaderError("header spans buffer")
     # huge headers are comment padding; keep text lazily bounded
-    text = data[8: 8 + min(l_text, 1 << 26)].split(b"\x00", 1)[0].decode()
+    text = bytes(data[8: 8 + min(l_text, 1 << 26)]).split(b"\x00", 1)[0].decode()
     off = 8 + l_text
     (n_ref,) = struct.unpack_from("<i", data, off)
     off += 4
@@ -345,7 +362,7 @@ def parse_records(data: bytes, start: int, end: int | None = None) -> tuple:
             block_end=full["block_end"], data=data,
         )
         return batch, full["end_off"]
-    arr = np.frombuffer(data, dtype=np.uint8)
+    arr = _as_u8(data)
     n_bytes = len(data) if end is None else end
     off = start
 
@@ -539,9 +556,11 @@ class BamStreamReader:
         carry = b""
         # prefetch one segment ahead: BGZF inflate (native thread pool)
         # overlaps record parse — the pipeline analogue of htslib's
-        # decode-thread overlap with the reference's scan thread
+        # decode-thread overlap with the reference's scan thread.
+        # Segments are uint8 ndarrays on the native path, so the carry
+        # slices below are zero-copy views of the inflate buffer.
         for seg in prefetch_iter(self._segments()):
-            buf = carry + seg if carry else seg
+            buf = _cat(carry, seg)
             carry = b""
             start = 0
             if self.header is None:
@@ -570,8 +589,8 @@ class BamStreamReader:
             self.header, start = _parse_header(carry)
             yield self.header
             carry = carry[start:] if start else carry
-            batch, _ = parse_records(carry, 0) if carry else (None, 0)
-        elif carry:
+            batch, _ = parse_records(carry, 0) if len(carry) else (None, 0)
+        elif len(carry):
             batch, _ = parse_records(carry, 0)
         else:
             batch = None

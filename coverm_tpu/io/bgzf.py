@@ -13,6 +13,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+import numpy as np
+
 # 28-byte EOF marker mandated by the SAM spec (an empty BGZF block).
 BGZF_EOF = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000"
@@ -84,7 +86,11 @@ class BgzfWriter:
         self._level = level
         self._buf = bytearray()
 
-    def write(self, data: bytes):
+    def write(self, data):
+        # ndarray views (zero-copy record slices) append via the buffer
+        # protocol; += on a raw ndarray would broadcast instead
+        if isinstance(data, np.ndarray):
+            data = memoryview(data)
         self._buf += data
         while len(self._buf) >= 0xFF00:
             self._flush_block(self._buf[:0xFF00])

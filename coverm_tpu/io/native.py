@@ -79,6 +79,13 @@ def get_lib():
         return _lib
 
 
+def _as_u8(data) -> np.ndarray:
+    """Zero-copy uint8 view of bytes / bytearray / ndarray buffers."""
+    if isinstance(data, np.ndarray):
+        return data
+    return np.frombuffer(data, dtype=np.uint8)
+
+
 def _u8p(arr):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
@@ -123,7 +130,7 @@ def walk_complete(data, start: int, end: int | None = None):
     lib = get_lib()
     if lib is None:
         return None
-    arr = np.frombuffer(data, dtype=np.uint8)
+    arr = _as_u8(data)
     end = arr.size if end is None else end
     end_off = np.zeros(1, np.int64)
     n = lib.ct_walk_complete(_u8p(arr), end, start, _i64p(end_off))
@@ -147,8 +154,11 @@ def bgzf_scan(arr: np.ndarray):
 
 
 def bgzf_inflate_blocks(arr: np.ndarray, off, csz, usz,
-                        n_threads: int = 0) -> bytes | None:
-    """Multi-threaded inflate of a RANGE of BGZF blocks from `arr`."""
+                        n_threads: int = 0) -> np.ndarray | None:
+    """Multi-threaded inflate of a RANGE of BGZF blocks from `arr`.
+
+    Returns a uint8 ndarray (NOT bytes) so downstream record parsing and
+    contig-boundary cuts are zero-copy views of the inflate buffer."""
     lib = get_lib()
     if lib is None:
         return None
@@ -163,7 +173,7 @@ def bgzf_inflate_blocks(arr: np.ndarray, off, csz, usz,
                              _i64p(out_off), _u8p(out), n_threads)
     if rc != 0:
         return None
-    return out.tobytes()
+    return out
 
 
 def walk_refs(data, off: int, n_ref: int):
@@ -174,7 +184,7 @@ def walk_refs(data, off: int, n_ref: int):
     lib = get_lib()
     if lib is None:
         return None
-    arr = np.frombuffer(data, dtype=np.uint8)
+    arr = _as_u8(data)
     name_off = np.empty(n_ref, np.int64)
     name_len = np.empty(n_ref, np.int64)
     tlen = np.empty(n_ref, np.int64)
@@ -196,7 +206,7 @@ def parse_records_full(data, header_end: int, end: int | None = None,
     lib = get_lib()
     if lib is None or not hasattr(lib, "ct_parse_phase1"):
         return None
-    arr = np.frombuffer(data, dtype=np.uint8)
+    arr = _as_u8(data)
     end = arr.size if end is None else end
     end_off = np.zeros(1, np.int64)
     n = lib.ct_walk_complete(_u8p(arr), end, header_end, _i64p(end_off))
@@ -253,7 +263,7 @@ def scan_records(data, header_end: int, end: int | None = None):
     lib = get_lib()
     if lib is None:
         return None
-    arr = np.frombuffer(data, dtype=np.uint8)
+    arr = _as_u8(data)
     end = arr.size if end is None else end
     end_off = np.zeros(1, np.int64)
     n = lib.ct_walk_complete(_u8p(arr), end, header_end, _i64p(end_off))

@@ -20,6 +20,11 @@
 
 #include <zlib.h>
 
+#if defined(USE_LIBDEFLATE) && __has_include(<libdeflate.h>)
+#include <libdeflate.h>
+#define HAVE_LIBDEFLATE 1
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------- BGZF ----
@@ -68,30 +73,58 @@ int ct_bgzf_inflate(const uint8_t* data, int64_t n_blocks,
                     uint8_t* out, int32_t n_threads) {
   std::atomic<int64_t> next(0);
   std::atomic<int> err(0);
+  // Blocks are claimed in contiguous runs so each worker writes a mostly
+  // sequential output range (better store locality than round-robin).
+  const int64_t CHUNK = 16;
   auto worker = [&]() {
+#ifdef HAVE_LIBDEFLATE
+    // one decompressor per worker, reused across blocks (libdeflate's
+    // raw-deflate decode is ~2-3x zlib's and has no per-block init cost)
+    libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
+    if (!dec) { err.store(1); return; }
+#endif
     while (true) {
-      int64_t i = next.fetch_add(1);
-      if (i >= n_blocks || err.load()) return;
-      z_stream zs;
-      memset(&zs, 0, sizeof(zs));
-      if (inflateInit2(&zs, -15) != Z_OK) { err.store(1); return; }
-      // skip the gzip header: 12 fixed + xlen
-      uint16_t xlen = (uint16_t)(data[block_off[i] + 10] |
-                                 (data[block_off[i] + 11] << 8));
-      int64_t payload_off = block_off[i] + 12 + xlen;
-      int64_t payload_len = block_csize[i] - 12 - xlen - 8;
-      zs.next_in = const_cast<uint8_t*>(data + payload_off);
-      zs.avail_in = (uInt)payload_len;
-      zs.next_out = out + out_off[i];
-      zs.avail_out = (uInt)block_usize[i];
-      int r = inflate(&zs, Z_FINISH);
-      inflateEnd(&zs);
-      if (r != Z_STREAM_END && !(r == Z_OK && zs.avail_out == 0) &&
-          !(r == Z_BUF_ERROR && block_usize[i] == 0)) {
-        err.store(2);
-        return;
+      int64_t lo = next.fetch_add(CHUNK);
+      if (lo >= n_blocks || err.load()) break;
+      int64_t hi = lo + CHUNK < n_blocks ? lo + CHUNK : n_blocks;
+      for (int64_t i = lo; i < hi; i++) {
+        // skip the gzip header: 12 fixed + xlen
+        uint16_t xlen = (uint16_t)(data[block_off[i] + 10] |
+                                   (data[block_off[i] + 11] << 8));
+        int64_t payload_off = block_off[i] + 12 + xlen;
+        int64_t payload_len = block_csize[i] - 12 - xlen - 8;
+#ifdef HAVE_LIBDEFLATE
+        size_t actual = 0;
+        libdeflate_result r = libdeflate_deflate_decompress(
+            dec, data + payload_off, (size_t)payload_len, out + out_off[i],
+            (size_t)block_usize[i], &actual);
+        if (r != LIBDEFLATE_SUCCESS || actual != (size_t)block_usize[i]) {
+          if (!(block_usize[i] == 0 && r == LIBDEFLATE_SUCCESS)) {
+            err.store(2);
+            break;
+          }
+        }
+#else
+        z_stream zs;
+        memset(&zs, 0, sizeof(zs));
+        if (inflateInit2(&zs, -15) != Z_OK) { err.store(1); break; }
+        zs.next_in = const_cast<uint8_t*>(data + payload_off);
+        zs.avail_in = (uInt)payload_len;
+        zs.next_out = out + out_off[i];
+        zs.avail_out = (uInt)block_usize[i];
+        int r = inflate(&zs, Z_FINISH);
+        inflateEnd(&zs);
+        if (r != Z_STREAM_END && !(r == Z_OK && zs.avail_out == 0) &&
+            !(r == Z_BUF_ERROR && block_usize[i] == 0)) {
+          err.store(2);
+          break;
+        }
+#endif
       }
     }
+#ifdef HAVE_LIBDEFLATE
+    libdeflate_free_decompressor(dec);
+#endif
   };
   int nt = n_threads < 1 ? 1 : n_threads;
   std::vector<std::thread> threads;

@@ -56,6 +56,7 @@ def test_cluster_cli(genome_trio, tmp_path, capsys):
     ga, gb, gc = genome_trio
     out_def = tmp_path / "clusters.tsv"
     rc = main(["cluster", "-f", ga, gb, gc, "--ani", "95",
+               "--cluster-method", "sketch",
                "--output-cluster-definition", str(out_def)])
     assert rc == 0
     rows = [l.split("\t") for l in out_def.read_text().strip().split("\n")]
@@ -81,7 +82,7 @@ def test_cluster_contigs_explodes_units(genome_trio, tmp_path, capsys):
     ga, gb, gc = genome_trio
     out_def = tmp_path / "clusters.tsv"
     rc = main(["cluster", "-f", ga, gb, gc, "--ani", "95",
-               "--cluster-contigs",
+               "--cluster-contigs", "--cluster-method", "sketch",
                "--output-cluster-definition", str(out_def)])
     assert rc == 0
     rows = [l.split("\t") for l in out_def.read_text().strip().split("\n")]
@@ -96,6 +97,7 @@ def test_reference_genomes_list(genome_trio, tmp_path):
     lst.write_text(gb + "\n")
     import argparse
     args = argparse.Namespace(dereplication_reference_genomes_list=str(lst),
+                              dereplication_cluster_method="sketch",
                               dereplication_ani=95.0, threads=1)
     from coverm_tpu.derep import dereplicate
     reps = dereplicate(args, [ga, gb, gc])
@@ -149,11 +151,12 @@ def test_precluster_matches_bruteforce(genome_trio):
     assert as_sets == [[0, 1], [2]]
 
 
-def test_cluster_method_fallback_warning(genome_trio, tmp_path, caplog):
-    """--cluster-method skani without skani on PATH warns and falls back
-    to the sketch engine (no silently-ignored knob)."""
+def test_cluster_method_missing_engine_fails_loudly(genome_trio):
+    """--cluster-method skani without skani on PATH must ERROR, not
+    silently downgrade to sketch ANI (the reference fails loudly when
+    its ANI engine is missing; results must not change under identical
+    flags)."""
     import argparse
-    import logging
 
     from coverm_tpu.derep import dereplicate
 
@@ -161,10 +164,38 @@ def test_cluster_method_fallback_warning(genome_trio, tmp_path, caplog):
     args = argparse.Namespace(
         dereplication_ani=95.0, dereplication_prethreshold_ani=90.0,
         dereplication_cluster_method="skani", threads=1)
-    with caplog.at_level(logging.WARNING, logger="coverm_tpu"):
-        reps = dereplicate(args, [ga, gb, gc])
-    assert len(reps) == 2
-    assert any("skani not found" in r.message for r in caplog.records)
+    with pytest.raises(SystemExit, match="requires the skani executable"):
+        dereplicate(args, [ga, gb, gc])
+
+
+def test_external_ani_parses_fake_skani(genome_trio, tmp_path, monkeypatch):
+    """Clusterer._external_ani drives skani correctly: a fake skani
+    executable records its invocation and emits a fixed dist table."""
+    import sys
+
+    ga, gb, gc = genome_trio
+    fake = tmp_path / "bin"
+    fake.mkdir()
+    log = tmp_path / "invocation.txt"
+    script = fake / "skani"
+    script.write_text(f"""#!{sys.executable}
+import sys
+open({str(log)!r}, "w").write(" ".join(sys.argv[1:]))
+rl = sys.argv[sys.argv.index("--rl") + 1]
+refs = [l.strip() for l in open(rl) if l.strip()]
+q = sys.argv[sys.argv.index("-q") + 1]
+print("Ref_file\tQuery_file\tANI\tAlign_fraction_ref\tAlign_fraction_query\tRef_name\tQuery_name")
+for i, r in enumerate(refs):
+    print(f"{{r}}\t{{q}}\t{{97.5 - i}}\t60.0\t60.0\tx\ty")
+""")
+    script.chmod(0o755)
+    monkeypatch.setenv("PATH", f"{fake}:" + __import__("os").environ["PATH"])
+
+    from coverm_tpu.derep import _external_ani
+    out = _external_ani("skani", ga, [gb, gc])
+    assert out == {gb: 97.5, gc: 96.5}
+    argv = log.read_text()
+    assert "-q " + ga in argv and "--min-af" in argv
 
 
 def test_output_representative_fasta_directory_copy(genome_trio, tmp_path):
@@ -176,7 +207,7 @@ def test_output_representative_fasta_directory_copy(genome_trio, tmp_path):
     ga, gb, gc = genome_trio
     out = tmp_path / "reps_copy"
     args = argparse.Namespace(
-        dereplication_ani=95.0,
+        dereplication_ani=95.0, dereplication_cluster_method="sketch",
         dereplication_output_representative_fasta_directory_copy=str(out),
         threads=1)
     reps = dereplicate(args, [ga, gb, gc])
