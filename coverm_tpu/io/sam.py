@@ -130,3 +130,16 @@ def sam_text_to_bam_data(lines_iter):
         out += struct.pack("<i", len(nb)) + nb + struct.pack("<I", l)
     out += records
     return bytes(out)
+
+
+def _bam_header_bytes(header_lines, names, lens) -> bytes:
+    text = ("\n".join(header_lines) + "\n").encode() if header_lines else b""
+    out = bytearray()
+    out += b"BAM\x01"
+    out += struct.pack("<i", len(text))
+    out += text
+    out += struct.pack("<i", len(names))
+    for n, l in zip(names, lens):
+        nb = n.encode() + b"\x00"
+        out += struct.pack("<i", len(nb)) + nb + struct.pack("<I", l)
+    return bytes(out)

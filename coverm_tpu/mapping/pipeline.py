@@ -1,13 +1,16 @@
 """Mapper subprocess pipeline (bam_generator.rs:374-925 re-imagined).
 
 The reference shells out `mapper | samtools sort -l0 > fifo` and reads
-the FIFO as BAM.  Here the mapper's SAM stdout is consumed directly:
-records are encoded to BAM bytes, parsed with the vectorised record
-parser, and *sorted inside the engine* (a numpy argsort over the packed
-(tid, pos) keys) — removing the samtools dependency entirely, exactly as
-planned in SURVEY.md §2.2.  BAM caching (`make`,
---bam-file-cache-directory) writes reference-sorted BAMs through our own
-BGZF encoder.
+the FIFO as BAM.  Here the mapper's SAM stdout is consumed directly and
+INCREMENTALLY: records are encoded to BAM bytes as they arrive and
+*sorted inside the engine* — removing the samtools dependency entirely,
+exactly as planned in SURVEY.md §2.2.  Small samples sort with one
+in-memory argsort; past SPILL_THRESHOLD_BYTES the stream spills to
+tid-bucketed run files and memory stays O(largest bucket)
+(SamStreamConsumer), the bounded-memory property the reference gets
+from its sort pipe.  BAM caching (`make`, --bam-file-cache-directory)
+writes reference-sorted BAMs through our own BGZF encoder, incrementally
+on the spilled path.
 """
 
 from __future__ import annotations
@@ -20,10 +23,183 @@ import numpy as np
 
 from ..io import bgzf
 from ..io.bam import parse_bam_data_raw
-from ..io.sam import sam_text_to_bam_data
+from ..io.sam import _bam_header_bytes, encode_sam_record
 from .external import check_mapper
 from .index import generate_concatenated_fasta_file, setup_mapping_index
 from .params import MappingParameters, ReadFormat
+
+# Encoded-record bytes held in RAM before the mapper stream spills to
+# tid-bucketed run files (bounded-memory analogue of the reference's
+# `mapper | samtools sort -l0 | fifo` pipe, bam_generator.rs:445-468).
+SPILL_THRESHOLD_BYTES = int(os.environ.get(
+    "COVERM_TPU_MAPPER_SPILL_BYTES", 512 * 1024 * 1024))
+
+
+class SamStreamConsumer:
+    """Bounded-memory consumer of a mapper's SAM stdout.
+
+    Records encode to BAM bytes as they arrive.  Small samples stay in
+    one in-memory buffer and finalize exactly like sam_text_to_bam_data.
+    Past ``spill_bytes``, records are routed to per-tid-range bucket
+    files (bucket tid ranges are disjoint and ordered; unmapped last);
+    at EOF each bucket is loaded, sorted by (tid, pos, input order) and
+    yielded as a contig-disjoint RecordBatch — per-record input sequence
+    numbers make the emitted order IDENTICAL to the in-memory path's
+    stable sort.  Memory is O(largest bucket), the same bound as
+    BamStreamReader's contig-boundary batching.
+    """
+
+    N_BUCKETS = 64
+    FLUSH_BYTES = 1 << 20  # per-bucket; worst-case buffered = ~N_BUCKETS MB
+
+    def __init__(self, lines_iter, spill_bytes=None, tmpdir=None):
+        self._lines = lines_iter
+        self.spill_bytes = (SPILL_THRESHOLD_BYTES if spill_bytes is None
+                            else spill_bytes)
+        self._tmpdir_base = tmpdir
+        self.header_lines = []
+        self.names = []
+        self.lens = []
+        self.name_to_tid = {}
+        self.spilled = False
+        self.header = None
+
+    def _consume_header(self):
+        """Read header lines; returns the first record's fields (or
+        None) and materialises self.header."""
+        from ..io.bam import _parse_header
+        first = None
+        for line in self._lines:
+            if isinstance(line, bytes):
+                line = line.decode()
+            line = line.rstrip("\n").rstrip("\r")
+            if not line:
+                continue
+            if line.startswith("@"):
+                self.header_lines.append(line)
+                if line.startswith("@SQ"):
+                    sn, ln = None, None
+                    for f in line.split("\t")[1:]:
+                        if f.startswith("SN:"):
+                            sn = f[3:]
+                        elif f.startswith("LN:"):
+                            ln = int(f[3:])
+                    if sn is not None and ln is not None:
+                        self.name_to_tid[sn] = len(self.names)
+                        self.names.append(sn)
+                        self.lens.append(ln)
+                continue
+            first = line.split("\t")
+            break
+        self._header_raw = _bam_header_bytes(self.header_lines, self.names,
+                                             self.lens)
+        self.header, _ = _parse_header(self._header_raw)
+        return first
+
+    def _bucket_of(self, tid: int) -> int:
+        nb = self._n_buckets - 1
+        return nb if tid < 0 else tid * nb // max(len(self.names), 1)
+
+    def _start_spill(self, records, tids, lengths):
+        """Re-route the accumulated in-memory records into bucket files."""
+        import tempfile
+        self.spilled = True
+        self._n_buckets = min(self.N_BUCKETS, max(len(self.names), 1)) + 1
+        self._tmp = tempfile.TemporaryDirectory(prefix="coverm-tpu-sort-",
+                                                dir=self._tmpdir_base)
+        self._rec_f = [open(os.path.join(self._tmp.name, f"b{i}.rec"), "wb")
+                       for i in range(self._n_buckets)]
+        self._seq_f = [open(os.path.join(self._tmp.name, f"b{i}.seq"), "wb")
+                       for i in range(self._n_buckets)]
+        self._buf = [bytearray() for _ in range(self._n_buckets)]
+        self._seqbuf = [[] for _ in range(self._n_buckets)]
+        mv = memoryview(records)
+        off = 0
+        for i, (tid, ln) in enumerate(zip(tids, lengths)):
+            self._route(tid, mv[off:off + ln], i)
+            off += ln
+
+    def _route(self, tid, rec, seq):
+        b = self._bucket_of(tid)
+        self._buf[b] += rec
+        self._seqbuf[b].append(seq)
+        if len(self._buf[b]) >= self.FLUSH_BYTES:
+            self._flush(b)
+
+    def _flush(self, b):
+        if self._buf[b]:
+            self._rec_f[b].write(self._buf[b])
+            self._buf[b] = bytearray()
+        if self._seqbuf[b]:
+            self._seq_f[b].write(
+                np.asarray(self._seqbuf[b], dtype="<i8").tobytes())
+            self._seqbuf[b] = []
+
+    def run(self):
+        """Returns (header, payload): payload is an UNSORTED RecordBatch
+        (in-memory path — caller applies its own sort, exactly as
+        before) or a generator of reference-sorted contig-disjoint
+        batches (spilled path)."""
+        first = self._consume_header()
+        records = bytearray()
+        tids = []
+        lengths = []
+        n = 0
+
+        def encode(fields):
+            rec = encode_sam_record(fields, self.name_to_tid)
+            return self.name_to_tid.get(fields[2], -1), rec
+
+        if first is not None:
+            def rows():
+                yield first
+                for line in self._lines:
+                    if isinstance(line, bytes):
+                        line = line.decode()
+                    line = line.rstrip("\n").rstrip("\r")
+                    if line:
+                        yield line.split("\t")
+
+            for fields in rows():
+                tid, rec = encode(fields)
+                if self.spilled:
+                    self._route(tid, rec, n)
+                else:
+                    records += rec
+                    tids.append(tid)
+                    lengths.append(len(rec))
+                    if len(records) >= self.spill_bytes:
+                        self._start_spill(records, tids, lengths)
+                        records = tids = lengths = None
+                n += 1
+
+        if not self.spilled:
+            data = self._header_raw + bytes(records)
+            return parse_bam_data_raw(data)
+        for b in range(self._n_buckets):
+            self._flush(b)
+            self._rec_f[b].close()
+            self._seq_f[b].close()
+        return self.header, self._sorted_batches()
+
+    def _sorted_batches(self):
+        from ..io.bam import parse_records
+        try:
+            for b in range(self._n_buckets):
+                rec_path = os.path.join(self._tmp.name, f"b{b}.rec")
+                if os.path.getsize(rec_path) == 0:
+                    continue
+                data = np.fromfile(rec_path, dtype=np.uint8)
+                seq = np.fromfile(
+                    os.path.join(self._tmp.name, f"b{b}.seq"), dtype="<i8")
+                batch, _ = parse_records(data, 0)
+                assert batch.n_records == seq.size
+                tid_key = np.where(batch.tid < 0, np.iinfo(np.int32).max,
+                                   batch.tid)
+                order = np.lexsort((seq, batch.pos, tid_key))
+                yield reorder_batch(batch, order)
+        finally:
+            self._tmp.cleanup()
 
 
 def build_mapper_invocation(mapping_program: str, read_format: ReadFormat,
@@ -103,6 +279,8 @@ class MappedReadsSource:
         return self.stoit_name
 
     def read(self):
+        import threading
+
         check_mapper(self.mapping_program)
         cmd = build_mapper_invocation(
             self.mapping_program, self.job.read_format, self.job.threads,
@@ -111,26 +289,73 @@ class MappedReadsSource:
         proc = subprocess.Popen(["bash", "-c", "set -o pipefail; " + cmd],
                                 stdout=subprocess.PIPE,
                                 stderr=subprocess.PIPE)
-        data = sam_text_to_bam_data(iter(proc.stdout))
-        stderr = proc.stderr.read()
-        rc = proc.wait()
-        if rc != 0:
-            raise RuntimeError(
-                f"Mapping command '{cmd}' failed with exit code {rc}; "
-                f"stderr: {stderr.decode(errors='replace')[-2000:]}")
-        if (self.mapping_program.startswith("minimap2")
-                and b"query files have different number of records" in stderr):
-            raise RuntimeError(
-                "The STDERR for the minimap2 command run for mapping "
-                "indicated a problem: read1 and read2 have different numbers "
-                "of records")
-        header, batch = parse_bam_data_raw(data)
-        batch = (name_sort_batch(batch) if self.sort_mode == "name"
-                 else sort_batch(batch))
+        # drain stderr concurrently: the mapper must never block on a
+        # full stderr pipe while we consume stdout incrementally
+        stderr_chunks = []
+        t_err = threading.Thread(
+            target=lambda: stderr_chunks.append(proc.stderr.read()),
+            daemon=True)
+        t_err.start()
+
+        def complete():
+            """Reap the mapper (bam_generator.rs:230-274 semantics)."""
+            t_err.join()
+            stderr = b"".join(stderr_chunks)
+            rc = proc.wait()
+            if rc != 0:
+                raise RuntimeError(
+                    f"Mapping command '{cmd}' failed with exit code {rc}; "
+                    f"stderr: {stderr.decode(errors='replace')[-2000:]}")
+            if (self.mapping_program.startswith("minimap2") and
+                    b"query files have different number of records" in stderr):
+                raise RuntimeError(
+                    "The STDERR for the minimap2 command run for mapping "
+                    "indicated a problem: read1 and read2 have different "
+                    "numbers of records")
+
+        # name-sort (deshard) consumes the whole record set at once; the
+        # coordinate path streams with bounded memory past the spill
+        # threshold
+        consumer = SamStreamConsumer(
+            iter(proc.stdout),
+            spill_bytes=(None if self.sort_mode == "coordinate"
+                         else 1 << 62))
+        header, payload = consumer.run()
+        from ..io.bam import RecordBatch
+        if isinstance(payload, RecordBatch):
+            complete()
+            batch = (name_sort_batch(payload) if self.sort_mode == "name"
+                     else sort_batch(payload))
+            if self.cached_bam_path is not None:
+                write_bam(self.cached_bam_path, header, batch,
+                          discard_unmapped=self.discard_unmapped)
+            return header, batch
+        return header, self._stream_batches(header, payload, complete)
+
+    def _stream_batches(self, header, batches, complete):
+        """Pass sorted batches through, writing the BAM cache
+        incrementally and reaping the mapper at end-of-stream."""
+        writer = None
         if self.cached_bam_path is not None:
-            write_bam(self.cached_bam_path, header, batch,
-                      discard_unmapped=self.discard_unmapped)
-        return header, batch
+            f = open(self.cached_bam_path, "wb")
+            writer = bgzf.BgzfWriter(f)
+            writer.write(header.raw)
+        try:
+            for batch in batches:
+                if writer is not None:
+                    keep = np.ones(batch.n_records, dtype=bool)
+                    if self.discard_unmapped:
+                        keep &= ~batch.is_unmapped()
+                    data = batch.data
+                    for i in np.flatnonzero(keep):
+                        writer.write(
+                            data[batch.rec_start[i]:batch.rec_end[i]])
+                yield batch
+            complete()
+        finally:
+            if writer is not None:
+                writer.close()
+                f.close()
 
     def finish(self):
         self.index.cleanup()
@@ -357,7 +582,10 @@ def make_bams(args):
                 args.mapper, index, job, name_stoit(ref, job.read1, True),
                 cached_bam_path=out_path,
                 discard_unmapped=getattr(args, "discard_unmapped", False))
-            src.read()
+            _header, payload = src.read()
+            if not hasattr(payload, "tid"):
+                for _ in payload:  # spilled stream: cache written en route
+                    pass
         index.cleanup()
     return 0
 
