@@ -57,7 +57,7 @@ def render_roff(parser, subcommand: str) -> str:
     for a in _actions(parser):
         lines.append(".TP")
         lines.append(f"\\fB{_esc(_invocation(a))}\\fR")
-        text = a.help or ""
+        text = (a.help or "").replace("%%", "%")
         if (a.default not in (None, False, argparse.SUPPRESS)
                 and not isinstance(a, (argparse._HelpAction,
                                        argparse._VersionAction))):
@@ -65,6 +65,13 @@ def render_roff(parser, subcommand: str) -> str:
         if getattr(a, "choices", None):
             text += " (choices: " + ", ".join(map(str, a.choices)) + ")"
         lines.append(_esc(text) if text else "\\ ")
+    for title, cmd in getattr(parser, "_manpage_examples", []):
+        lines += [".SH EXAMPLES" if ".SH EXAMPLES" not in lines else ".PP",
+                  _esc(title) + ":", ".PP", ".nf",
+                  "  " + _esc(cmd), ".fi"]
+    faq = getattr(parser, "_manpage_faq", None)
+    if faq:
+        lines += [".SH FREQUENTLY ASKED QUESTIONS", _esc(faq)]
     lines += [
         ".SH AUTHORS",
         "coverm-tpu contributors",
@@ -82,7 +89,7 @@ def render_text(parser, subcommand: str) -> str:
            f"USAGE: coverm-tpu {subcommand} [OPTIONS]", "", "OPTIONS:"]
     for a in _actions(parser):
         head = "  " + _invocation(a)
-        text = a.help or ""
+        text = (a.help or "").replace("%%", "%")
         if (a.default not in (None, False, argparse.SUPPRESS)
                 and not isinstance(a, (argparse._HelpAction,
                                        argparse._VersionAction))):
@@ -93,4 +100,12 @@ def render_text(parser, subcommand: str) -> str:
         if text:
             out.append("        " + text)
         out.append("")
+    examples = getattr(parser, "_manpage_examples", [])
+    if examples:
+        out.append("EXAMPLES:")
+        for title, cmd in examples:
+            out += ["  " + title + ":", "        " + cmd, ""]
+    faq = getattr(parser, "_manpage_faq", None)
+    if faq:
+        out += ["FREQUENTLY ASKED QUESTIONS:", "  " + faq, ""]
     return "\n".join(out)
