@@ -317,6 +317,13 @@ def parse_bam_bytes(raw: bytes) -> tuple:
     same `-b` inputs, e.g. tests/data/mapq_test.sam)."""
     if raw[:4] == b"BAM\x01":
         return parse_bam_data_raw(raw)
+    if raw[:4] == b"CRAM":
+        # the reference reads CRAM through htslib (lib.rs:138-180); the
+        # engine decodes BAM/SAM natively and does not implement the
+        # CRAM codec — fail with a clear remedy instead of "bad magic"
+        raise BamFormatError(
+            "CRAM input is not supported by this engine. Convert to BAM "
+            "first, e.g.: samtools view -b -T ref.fna in.cram > in.bam")
     if raw[:2] != b"\x1f\x8b":
         from .sam import sam_text_to_bam_data
         return parse_bam_data_raw(
@@ -512,6 +519,13 @@ class BamStreamReader:
 
     def read(self):
         """(header, batch_iterator) — the header is parsed eagerly."""
+        with open(self.path, "rb") as f:
+            magic = f.read(4)
+        if magic == b"CRAM":
+            raise BamFormatError(
+                "CRAM input is not supported by this engine. Convert to "
+                "BAM first, e.g.: samtools view -b -T ref.fna in.cram > "
+                "in.bam")
         gen = self._run()
         header = next(gen)
         return header, gen

@@ -64,107 +64,106 @@ def merge_shards(headers, raw_batches, genome_exclusion=None):
         text="", target_names=merged_names, target_lens=merged_lens,
         raw=b"")
 
-    if True:
-        prim = []
-        for b in raw_batches:
-            keep = b.is_primary()
-            if not np.all((b.flag[keep] & 0x1) != 0):
-                raise SystemExit(
-                    "This code can only handle paired-end input (at the "
-                    "moment), sorry.")
-            prim.append(b.select(keep))
-
-        n = prim[0].n_records
-        for s_i, p in enumerate(prim):
-            if p.n_records != n:
-                raise SystemExit(
-                    "Unexpectedly one BAM file input finished while another "
-                    "had further reads")
-        # name-sorted shards must agree on read order
-        for p in prim[1:]:
-            if not np.array_equal(p.qname_hash, prim[0].qname_hash):
-                raise SystemExit(
-                    "BAM files do not appear to be properly sorted by read "
-                    "name.")
-        if n % 2 != 0:
+    prim = []
+    for b in raw_batches:
+        keep = b.is_primary()
+        if not np.all((b.flag[keep] & 0x1) != 0):
             raise SystemExit(
-                "Unexpectedly was able to read a first read set, but not a "
-                "second. Hmm.")
-        n_pairs = n // 2
+                "This code can only handle paired-end input (at the "
+                "moment), sorry.")
+        prim.append(b.select(keep))
 
-        # pair score per shard: AS of each mapped mate
-        scores = np.zeros((len(prim), n_pairs), dtype=np.int64)
-        allowed = np.ones((len(prim), n_pairs), dtype=bool)
-        for s_i, p in enumerate(prim):
-            as_ = np.where(p.is_unmapped(), 0, p.as_score)
-            if np.any((~p.is_unmapped()) & (p.as_score == np.iinfo(np.int64).min)):
-                raise SystemExit(
-                    "Mapping record encountered that does not have an 'AS' "
-                    "auxiliary tag in the SAM/BAM format. This is required "
-                    "for ranking pairs of alignments.")
-            scores[s_i] = as_[0::2] + as_[1::2]
-            first_tids = p.tid[0::2]
-            if not isinstance(genome_exclusion, NoExclusionGenomeFilter):
-                names = headers[s_i].target_names
-                excl = np.array([
-                    t >= 0 and genome_exclusion.is_excluded(names[t])
-                    for t in first_tids.tolist()])
-                allowed[s_i] = ~excl
-
-        masked = np.where(allowed, scores, np.iinfo(np.int64).min)
-        if np.any(~allowed.any(axis=0)):
+    n = prim[0].n_records
+    for s_i, p in enumerate(prim):
+        if p.n_records != n:
             raise SystemExit(
-                "CoverM cannot currently deal with reads that only map to "
-                "excluded genomes")
-        # deterministic tie-break: lowest shard index among the max scores
-        winner = np.argmax(masked, axis=0)
+                "Unexpectedly one BAM file input finished while another "
+                "had further reads")
+    # name-sorted shards must agree on read order
+    for p in prim[1:]:
+        if not np.array_equal(p.qname_hash, prim[0].qname_hash):
+            raise SystemExit(
+                "BAM files do not appear to be properly sorted by read "
+                "name.")
+    if n % 2 != 0:
+        raise SystemExit(
+            "Unexpectedly was able to read a first read set, but not a "
+            "second. Hmm.")
+    n_pairs = n // 2
 
-        # gather both mates of each pair from the winning shard
-        fields = ("tid", "pos", "flag", "mapq", "nm", "as_score", "seq_len",
-                  "aligned_cov", "aligned_single", "aligned_pair", "indels",
-                  "read_end", "qname_hash")
-        win_rec = np.repeat(winner, 2)
-        out = {}
-        for f in fields:
-            stacked = np.stack([getattr(p, f) for p in prim])
-            out[f] = stacked[win_rec, np.arange(n)]
-        # re-offset tids into the merged header (matching the reference,
-        # the offset applies even to tid == -1 records)
-        off = tid_offsets[win_rec]
-        out["tid"] = (out["tid"] + off).astype(np.int32)
+    # pair score per shard: AS of each mapped mate
+    scores = np.zeros((len(prim), n_pairs), dtype=np.int64)
+    allowed = np.ones((len(prim), n_pairs), dtype=bool)
+    for s_i, p in enumerate(prim):
+        as_ = np.where(p.is_unmapped(), 0, p.as_score)
+        if np.any((~p.is_unmapped()) & (p.as_score == np.iinfo(np.int64).min)):
+            raise SystemExit(
+                "Mapping record encountered that does not have an 'AS' "
+                "auxiliary tag in the SAM/BAM format. This is required "
+                "for ranking pairs of alignments.")
+        scores[s_i] = as_[0::2] + as_[1::2]
+        first_tids = p.tid[0::2]
+        if not isinstance(genome_exclusion, NoExclusionGenomeFilter):
+            names = headers[s_i].target_names
+            excl = np.array([
+                t >= 0 and genome_exclusion.is_excluded(names[t])
+                for t in first_tids.tolist()])
+            allowed[s_i] = ~excl
 
-        # raw record bytes: concatenate shard datas, rebase offsets
-        data_offsets = np.concatenate(
-            ([0], np.cumsum([len(p.data) for p in prim])))[:-1]
-        data = b"".join(bytes(p.data) for p in prim)
-        rs = np.stack([p.rec_start for p in prim])
-        re_ = np.stack([p.rec_end for p in prim])
-        rec_start = rs[win_rec, np.arange(n)] + data_offsets[win_rec]
-        rec_end = re_[win_rec, np.arange(n)] + data_offsets[win_rec]
+    masked = np.where(allowed, scores, np.iinfo(np.int64).min)
+    if np.any(~allowed.any(axis=0)):
+        raise SystemExit(
+            "CoverM cannot currently deal with reads that only map to "
+            "excluded genomes")
+    # deterministic tie-break: lowest shard index among the max scores
+    winner = np.argmax(masked, axis=0)
 
-        # blocks from the winning shard's records
-        all_blocks = []
-        for s_i, p in enumerate(prim):
-            sel = winner[p.block_read // 2] == s_i
-            all_blocks.append((p.block_read[sel], p.block_start[sel],
-                               p.block_end[sel], s_i))
-        block_read = np.concatenate([b[0] for b in all_blocks])
-        block_start = np.concatenate([b[1] for b in all_blocks])
-        block_end = np.concatenate([b[2] for b in all_blocks])
+    # gather both mates of each pair from the winning shard
+    fields = ("tid", "pos", "flag", "mapq", "nm", "as_score", "seq_len",
+              "aligned_cov", "aligned_single", "aligned_pair", "indels",
+              "read_end", "qname_hash")
+    win_rec = np.repeat(winner, 2)
+    out = {}
+    for f in fields:
+        stacked = np.stack([getattr(p, f) for p in prim])
+        out[f] = stacked[win_rec, np.arange(n)]
+    # re-offset tids into the merged header (matching the reference,
+    # the offset applies even to tid == -1 records)
+    off = tid_offsets[win_rec]
+    out["tid"] = (out["tid"] + off).astype(np.int32)
 
-        batch = RecordBatch(
-            n_records=n, tid=out["tid"], pos=out["pos"], flag=out["flag"],
-            mapq=out["mapq"], nm=out["nm"], as_score=out["as_score"],
-            seq_len=out["seq_len"], aligned_cov=out["aligned_cov"],
-            aligned_single=out["aligned_single"],
-            aligned_pair=out["aligned_pair"], indels=out["indels"],
-            read_end=out["read_end"], qname_hash=out["qname_hash"],
-            rec_start=rec_start, rec_end=rec_end,
-            block_read=block_read.astype(np.int32),
-            block_start=block_start, block_end=block_end, data=data)
+    # raw record bytes: concatenate shard datas, rebase offsets
+    data_offsets = np.concatenate(
+        ([0], np.cumsum([len(p.data) for p in prim])))[:-1]
+    data = b"".join(bytes(p.data) for p in prim)
+    rs = np.stack([p.rec_start for p in prim])
+    re_ = np.stack([p.rec_end for p in prim])
+    rec_start = rs[win_rec, np.arange(n)] + data_offsets[win_rec]
+    rec_end = re_[win_rec, np.arange(n)] + data_offsets[win_rec]
 
-        from .mapping.pipeline import sort_batch
-        return merged_header, sort_batch(batch)
+    # blocks from the winning shard's records
+    all_blocks = []
+    for s_i, p in enumerate(prim):
+        sel = winner[p.block_read // 2] == s_i
+        all_blocks.append((p.block_read[sel], p.block_start[sel],
+                           p.block_end[sel], s_i))
+    block_read = np.concatenate([b[0] for b in all_blocks])
+    block_start = np.concatenate([b[1] for b in all_blocks])
+    block_end = np.concatenate([b[2] for b in all_blocks])
+
+    batch = RecordBatch(
+        n_records=n, tid=out["tid"], pos=out["pos"], flag=out["flag"],
+        mapq=out["mapq"], nm=out["nm"], as_score=out["as_score"],
+        seq_len=out["seq_len"], aligned_cov=out["aligned_cov"],
+        aligned_single=out["aligned_single"],
+        aligned_pair=out["aligned_pair"], indels=out["indels"],
+        read_end=out["read_end"], qname_hash=out["qname_hash"],
+        rec_start=rec_start, rec_end=rec_end,
+        block_read=block_read.astype(np.int32),
+        block_start=block_start, block_end=block_end, data=data)
+
+    from .mapping.pipeline import sort_batch
+    return merged_header, sort_batch(batch)
 
 
 class ShardedMappingSource:

@@ -218,3 +218,17 @@ def test_every_flag_has_help_text():
         text = render_text(parser._subparser_map[name], name)
         assert "EXAMPLES:" in text
         assert "FREQUENTLY ASKED QUESTIONS:" in text
+
+
+def test_cram_input_clear_error(tmp_path, capsys):
+    """A .cram input must fail with a clear conversion hint, not a
+    generic bad-magic error (the reference reads CRAM via htslib;
+    lib.rs:138-180)."""
+    cram = tmp_path / "x.cram"
+    cram.write_bytes(b"CRAM\x03\x00" + b"\x00" * 64)
+    from coverm_tpu.cli import main
+    with pytest.raises(SystemExit):
+        main(["contig", "-b", str(cram), "-m", "mean"])
+    err = capsys.readouterr().err
+    assert "CRAM input is not supported" in err
+    assert "samtools view -b" in err

@@ -85,7 +85,7 @@ def test_trimmed_sum_matches_scalar_walk(engine, seed, ee, trim):
         want = est.calculate(s)
         lo = int(np.floor(f32(trim[0]) * f32(W)))
         hi = int(np.ceil(f32(trim[1]) * f32(W)))
-        if W == 0 or s.covered_window == 0:
+        if W == 0 or s.covered_window == 0 or hi == lo:
             continue  # gated: device value unused
         got_val = f32(int(got.trimmed_sum[c])) / f32(hi - lo)
         assert got_val == want or (np.isnan(got_val) and np.isnan(want)), (

@@ -1,0 +1,122 @@
+"""Multi-GB BAM header stress (VERDICT r2 #7).
+
+The reference proves >2^31-byte headers round-trip through `filter`
+(test_cmdline.rs:4212-4369 synthesises 2.5 GB / 4.5 GB headers).
+stream_filter_bam's _HeaderCopier is designed for this — O(1) state,
+chunked copy-through — and this test proves it: a BAM whose SAM-text
+header is 2.5 GB (> i32::MAX, exercising unsigned l_text handling)
+round-trips in a subprocess whose peak RSS stays under 1.2 GB, with the
+decompressed output byte-identical to the input.
+"""
+
+import hashlib
+import os
+import struct
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+L_TEXT = 2_500_000_000  # > 2^31: must be read as unsigned
+
+
+def build_big_header_bam(path):
+    from coverm_tpu.io import bgzf
+    from coverm_tpu.io.sam import encode_sam_record
+
+    with open(path, "wb") as f:
+        w = bgzf.BgzfWriter(f, level=1)
+        w.write(b"BAM\x01" + struct.pack("<I", L_TEXT))
+        line = b"@CO\t" + b"x" * 1_000_000 + b"\n"
+        left = L_TEXT
+        while left > 0:
+            piece = line if left >= len(line) else b"y" * (left - 1) + b"\n"
+            w.write(piece)
+            left -= len(piece)
+        # reference list + a few records
+        w.write(struct.pack("<i", 2))
+        for name, ln in ((b"c1\x00", 5000), (b"c2\x00", 5000)):
+            w.write(struct.pack("<i", len(name)) + name
+                    + struct.pack("<I", ln))
+        tidmap = {"c1": 0, "c2": 1}
+        for j, (contig, pos, nm) in enumerate(
+                [("c1", 10, 0), ("c1", 500, 8), ("c2", 30, 1)]):
+            w.write(encode_sam_record(
+                [f"r{j}", "0", contig, str(pos), "60", "100M", "*", "0",
+                 "0", "A" * 100, "I" * 100, f"NM:i:{nm}"], tidmap))
+        w.close()
+
+
+def bgzf_digest(path):
+    """Digest of the decompressed stream, read in bounded chunks."""
+    from coverm_tpu.io import native
+
+    mm = np.memmap(path, np.uint8, mode="r")
+    off, csz, usz = native.bgzf_scan(mm)
+    h = hashlib.blake2b()
+    step = 4096  # blocks per inflate call (~256 MB)
+    for i in range(0, off.size, step):
+        seg = native.bgzf_inflate_blocks(mm, off[i:i + step],
+                                         csz[i:i + step], usz[i:i + step])
+        h.update(seg)
+    return h.hexdigest()
+
+
+def test_2p5_gb_header_filter_roundtrip(tmp_path):
+    src = tmp_path / "big.bam"
+    out = tmp_path / "filtered.bam"
+    build_big_header_bam(str(src))
+    assert os.path.getsize(src) < 100 << 20  # compressed tiny, header huge
+
+    script = f"""
+import resource, sys
+sys.path.insert(0, {REPO!r})
+from coverm_tpu.filter_stream import stream_filter_bam
+from coverm_tpu.flags import FlagFilter
+from coverm_tpu.readfilter import FilterParams
+
+params = FilterParams(min_percent_identity_single=0.95)
+kept, total = stream_filter_bam({str(src)!r}, {str(out)!r}, params,
+                                FlagFilter(), target_bytes=1 << 27)
+peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+print(f"kept={{kept}} total={{total}} peak_rss_mb={{peak_mb:.0f}}")
+assert peak_mb < 1200, f"peak RSS {{peak_mb:.0f}} MB"
+"""
+    env = dict(os.environ, MALLOC_ARENA_MAX="2")
+    proc = subprocess.run([sys.executable, "-c", script], env=env,
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr + proc.stdout
+    # identity 1-NM/100: r0 (NM 0) and r2 (NM 1) pass 95%, r1 (NM 8) fails
+    assert "kept=2 total=3" in proc.stdout, proc.stdout
+
+    # the filtered file must carry the full 2.5 GB header verbatim:
+    # decompressed output == decompressed input minus the dropped record
+    from coverm_tpu.io.bam import BamReader  # noqa: F401 (import check)
+    in_digest_header_only = None  # compare sizes first (cheap)
+    from coverm_tpu.io import native
+    mm_in = np.memmap(src, np.uint8, mode="r")
+    mm_out = np.memmap(out, np.uint8, mode="r")
+    usz_in = native.bgzf_scan(mm_in)[2].sum()
+    usz_out = native.bgzf_scan(mm_out)[2].sum()
+    # r1's bytes: block_size u32 + 32 fixed + name "r1\0" + 1 cigar op
+    # + 50 packed seq + 100 qual + 7 aux (NM:i)
+    dropped = 4 + 32 + 3 + 4 + (100 + 1) // 2 + 100 + 7
+    assert usz_in - usz_out == dropped, (usz_in, usz_out)
+    # full-stream digests differ only by that record; header region equal:
+    # digest the first L_TEXT bytes of both streams
+    h_in, h_out = hashlib.blake2b(), hashlib.blake2b()
+    for mm, h in ((mm_in, h_in), (mm_out, h_out)):
+        off, csz, usz = native.bgzf_scan(mm)
+        need = 8 + L_TEXT
+        i = 0
+        while need > 0 and i < off.size:
+            j = min(i + 4096, off.size)
+            seg = native.bgzf_inflate_blocks(mm, off[i:j], csz[i:j],
+                                             usz[i:j])
+            take = seg[:need] if len(seg) > need else seg
+            h.update(take)
+            need -= len(take)
+            i = j
+    assert h_in.hexdigest() == h_out.hexdigest()
