@@ -71,7 +71,7 @@ def test_2p5_gb_header_filter_roundtrip(tmp_path):
     assert os.path.getsize(src) < 100 << 20  # compressed tiny, header huge
 
     script = f"""
-import resource, sys
+import sys
 sys.path.insert(0, {REPO!r})
 from coverm_tpu.filter_stream import stream_filter_bam
 from coverm_tpu.flags import FlagFilter
@@ -80,7 +80,11 @@ from coverm_tpu.readfilter import FilterParams
 params = FilterParams(min_percent_identity_single=0.95)
 kept, total = stream_filter_bam({str(src)!r}, {str(out)!r}, params,
                                 FlagFilter(), target_bytes=1 << 27)
-peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+# VmHWM, not ru_maxrss: the latter is inherited across fork/exec on
+# Linux and would report a large pytest parent's peak instead
+hwm_kb = next(int(l.split()[1]) for l in open("/proc/self/status")
+              if l.startswith("VmHWM:"))
+peak_mb = hwm_kb / 1024
 print(f"kept={{kept}} total={{total}} peak_rss_mb={{peak_mb:.0f}}")
 assert peak_mb < 1200, f"peak RSS {{peak_mb:.0f}} MB"
 """

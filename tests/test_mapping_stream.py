@@ -123,7 +123,7 @@ def test_spill_memory_bound():
     RSS stays far below the in-memory path's (which holds all record
     bytes plus a copy plus the parsed columns)."""
     script = r"""
-import resource, sys
+import sys
 sys.path.insert(0, %(repo)r)
 from coverm_tpu.mapping.pipeline import SamStreamConsumer
 
@@ -145,8 +145,11 @@ else:
     for b in payload:
         n += b.n_records
 assert n == 800_000, n
-peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
-print(f"peak_rss_mb={peak_mb:.0f}")
+# VmHWM (not ru_maxrss: the latter is inherited across fork/exec on
+# Linux, so a big pytest parent would mask the child's real peak)
+hwm_kb = next(int(l.split()[1]) for l in open("/proc/self/status")
+              if l.startswith("VmHWM:"))
+print(f"peak_rss_mb={hwm_kb / 1024:.0f}")
 """ % {"repo": REPO}
 
     def peak(mode):
