@@ -512,9 +512,14 @@ class BamStreamReader:
     O(segment + largest single contig's records) instead of O(file).
     """
 
-    def __init__(self, path: str, target_bytes: int = 1 << 28):
+    def __init__(self, path: str, target_bytes: int = 1 << 28,
+                 cut_contigs: bool = True):
         self.path = path
         self.target_bytes = int(target_bytes)
+        # cut_contigs=False yields plain complete-record segment batches
+        # (for NAME-sorted inputs — shard BAMs — where contig-boundary
+        # cutting is meaningless and could make the carry unbounded)
+        self.cut_contigs = cut_contigs
         self.header = None
 
     def read(self):
@@ -587,6 +592,10 @@ class BamStreamReader:
                 yield self.header
             batch, end_off = parse_records(buf, start)
             if batch.n_records == 0:
+                carry = buf[end_off:]
+                continue
+            if not self.cut_contigs:
+                yield batch
                 carry = buf[end_off:]
                 continue
             # hold back the trailing open contig so no contig spans batches

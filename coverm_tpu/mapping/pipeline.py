@@ -35,22 +35,90 @@ SPILL_THRESHOLD_BYTES = int(os.environ.get(
     "COVERM_TPU_MAPPER_SPILL_BYTES", 512 * 1024 * 1024))
 
 
+class RecordSpillSorter:
+    """tid-bucketed external sort of raw BAM record bytes.
+
+    ``add(tid, rec)`` routes each record (with its leading block_size
+    u32) to a per-tid-range bucket file; ``sorted_batches()`` loads each
+    bucket — whose tid range is disjoint from and ordered before the
+    next bucket's (unmapped last) — sorts it by (tid, pos, input order)
+    and yields contig-disjoint RecordBatches.  Memory is O(largest
+    bucket + flush buffers).  The per-record input sequence number makes
+    the total emitted order identical to a single stable in-memory
+    lexsort over (tid, pos).
+    """
+
+    N_BUCKETS = 64
+    FLUSH_BYTES = 1 << 20  # per-bucket; worst-case buffered = ~N_BUCKETS MB
+
+    def __init__(self, n_ref: int, tmpdir=None):
+        import tempfile
+        self.n_ref = max(int(n_ref), 1)
+        self.n_buckets = min(self.N_BUCKETS, self.n_ref) + 1  # + unmapped
+        self._tmp = tempfile.TemporaryDirectory(prefix="coverm-tpu-sort-",
+                                                dir=tmpdir)
+        self._rec_f = [open(os.path.join(self._tmp.name, f"b{i}.rec"), "wb")
+                       for i in range(self.n_buckets)]
+        self._seq_f = [open(os.path.join(self._tmp.name, f"b{i}.seq"), "wb")
+                       for i in range(self.n_buckets)]
+        self._buf = [bytearray() for _ in range(self.n_buckets)]
+        self._seqbuf = [[] for _ in range(self.n_buckets)]
+        self._n = 0
+
+    def bucket_of(self, tid: int) -> int:
+        nb = self.n_buckets - 1
+        return nb if tid < 0 else tid * nb // self.n_ref
+
+    def add(self, tid: int, rec):
+        b = self.bucket_of(tid)
+        self._buf[b] += rec
+        self._seqbuf[b].append(self._n)
+        self._n += 1
+        if len(self._buf[b]) >= self.FLUSH_BYTES:
+            self._flush(b)
+
+    def _flush(self, b):
+        if self._buf[b]:
+            self._rec_f[b].write(self._buf[b])
+            self._buf[b] = bytearray()
+        if self._seqbuf[b]:
+            self._seq_f[b].write(
+                np.asarray(self._seqbuf[b], dtype="<i8").tobytes())
+            self._seqbuf[b] = []
+
+    def sorted_batches(self):
+        from ..io.bam import parse_records
+        for b in range(self.n_buckets):
+            self._flush(b)
+            self._rec_f[b].close()
+            self._seq_f[b].close()
+        try:
+            for b in range(self.n_buckets):
+                rec_path = os.path.join(self._tmp.name, f"b{b}.rec")
+                if os.path.getsize(rec_path) == 0:
+                    continue
+                data = np.fromfile(rec_path, dtype=np.uint8)
+                seq = np.fromfile(
+                    os.path.join(self._tmp.name, f"b{b}.seq"), dtype="<i8")
+                batch, _ = parse_records(data, 0)
+                assert batch.n_records == seq.size
+                tid_key = np.where(batch.tid < 0, np.iinfo(np.int32).max,
+                                   batch.tid)
+                order = np.lexsort((seq, batch.pos, tid_key))
+                yield reorder_batch(batch, order)
+        finally:
+            self._tmp.cleanup()
+
+
 class SamStreamConsumer:
     """Bounded-memory consumer of a mapper's SAM stdout.
 
     Records encode to BAM bytes as they arrive.  Small samples stay in
     one in-memory buffer and finalize exactly like sam_text_to_bam_data.
-    Past ``spill_bytes``, records are routed to per-tid-range bucket
-    files (bucket tid ranges are disjoint and ordered; unmapped last);
-    at EOF each bucket is loaded, sorted by (tid, pos, input order) and
-    yielded as a contig-disjoint RecordBatch — per-record input sequence
-    numbers make the emitted order IDENTICAL to the in-memory path's
-    stable sort.  Memory is O(largest bucket), the same bound as
-    BamStreamReader's contig-boundary batching.
+    Past ``spill_bytes``, records are routed through a RecordSpillSorter
+    and yielded as reference-sorted contig-disjoint RecordBatches with
+    the emitted order IDENTICAL to the in-memory path's stable sort.
     """
-
-    N_BUCKETS = 64
-    FLUSH_BYTES = 1 << 20  # per-bucket; worst-case buffered = ~N_BUCKETS MB
 
     def __init__(self, lines_iter, spill_bytes=None, tmpdir=None):
         self._lines = lines_iter
@@ -96,44 +164,16 @@ class SamStreamConsumer:
         self.header, _ = _parse_header(self._header_raw)
         return first
 
-    def _bucket_of(self, tid: int) -> int:
-        nb = self._n_buckets - 1
-        return nb if tid < 0 else tid * nb // max(len(self.names), 1)
-
     def _start_spill(self, records, tids, lengths):
         """Re-route the accumulated in-memory records into bucket files."""
-        import tempfile
         self.spilled = True
-        self._n_buckets = min(self.N_BUCKETS, max(len(self.names), 1)) + 1
-        self._tmp = tempfile.TemporaryDirectory(prefix="coverm-tpu-sort-",
-                                                dir=self._tmpdir_base)
-        self._rec_f = [open(os.path.join(self._tmp.name, f"b{i}.rec"), "wb")
-                       for i in range(self._n_buckets)]
-        self._seq_f = [open(os.path.join(self._tmp.name, f"b{i}.seq"), "wb")
-                       for i in range(self._n_buckets)]
-        self._buf = [bytearray() for _ in range(self._n_buckets)]
-        self._seqbuf = [[] for _ in range(self._n_buckets)]
+        self._sorter = RecordSpillSorter(len(self.names),
+                                         tmpdir=self._tmpdir_base)
         mv = memoryview(records)
         off = 0
-        for i, (tid, ln) in enumerate(zip(tids, lengths)):
-            self._route(tid, mv[off:off + ln], i)
+        for tid, ln in zip(tids, lengths):
+            self._sorter.add(tid, mv[off:off + ln])
             off += ln
-
-    def _route(self, tid, rec, seq):
-        b = self._bucket_of(tid)
-        self._buf[b] += rec
-        self._seqbuf[b].append(seq)
-        if len(self._buf[b]) >= self.FLUSH_BYTES:
-            self._flush(b)
-
-    def _flush(self, b):
-        if self._buf[b]:
-            self._rec_f[b].write(self._buf[b])
-            self._buf[b] = bytearray()
-        if self._seqbuf[b]:
-            self._seq_f[b].write(
-                np.asarray(self._seqbuf[b], dtype="<i8").tobytes())
-            self._seqbuf[b] = []
 
     def run(self):
         """Returns (header, payload): payload is an UNSORTED RecordBatch
@@ -163,7 +203,7 @@ class SamStreamConsumer:
             for fields in rows():
                 tid, rec = encode(fields)
                 if self.spilled:
-                    self._route(tid, rec, n)
+                    self._sorter.add(tid, rec)
                 else:
                     records += rec
                     tids.append(tid)
@@ -176,30 +216,7 @@ class SamStreamConsumer:
         if not self.spilled:
             data = self._header_raw + bytes(records)
             return parse_bam_data_raw(data)
-        for b in range(self._n_buckets):
-            self._flush(b)
-            self._rec_f[b].close()
-            self._seq_f[b].close()
-        return self.header, self._sorted_batches()
-
-    def _sorted_batches(self):
-        from ..io.bam import parse_records
-        try:
-            for b in range(self._n_buckets):
-                rec_path = os.path.join(self._tmp.name, f"b{b}.rec")
-                if os.path.getsize(rec_path) == 0:
-                    continue
-                data = np.fromfile(rec_path, dtype=np.uint8)
-                seq = np.fromfile(
-                    os.path.join(self._tmp.name, f"b{b}.seq"), dtype="<i8")
-                batch, _ = parse_records(data, 0)
-                assert batch.n_records == seq.size
-                tid_key = np.where(batch.tid < 0, np.iinfo(np.int32).max,
-                                   batch.tid)
-                order = np.lexsort((seq, batch.pos, tid_key))
-                yield reorder_batch(batch, order)
-        finally:
-            self._tmp.cleanup()
+        return self.header, self._sorter.sorted_batches()
 
 
 def build_mapper_invocation(mapping_program: str, read_format: ReadFormat,

@@ -14,6 +14,12 @@ winner selection is one argmax over a (n_shards, n_pairs) score matrix
 and the merged stream is a vectorised take + coordinate sort — the
 single-host analogue of an all-reduce(max) over the shard axis
 (SURVEY.md §2.3).
+
+Above STREAM_THRESHOLD_BYTES (total shard size) the merge streams:
+shards decode in lockstep chunks and the winners coordinate-sort
+through the tid-bucketed external sorter, so memory is O(chunk x
+shards + largest sort bucket) instead of O(all shards)
+(stream_merge_shards).
 """
 
 from __future__ import annotations
@@ -44,12 +50,184 @@ class ShardedBamSource:
         return self.stoit_name
 
     def read(self):
+        from .modes import STREAM_THRESHOLD_BYTES
+        total = sum(os.path.getsize(p) for p in self.bam_paths)
+        if total >= STREAM_THRESHOLD_BYTES:
+            return stream_merge_shards(self.bam_paths, self.genome_exclusion)
         shards = [BamReader(p) for p in self.bam_paths]
         return merge_shards([s.header for s in shards],
                             [s.batch for s in shards], self.genome_exclusion)
 
     def finish(self):
         pass
+
+
+def stream_merge_shards(bam_paths, genome_exclusion=None):
+    """Bounded-memory deshard: shards stream in lockstep, winners are
+    chosen chunk by chunk, and the merged records coordinate-sort
+    through the tid-bucketed external sorter (RecordSpillSorter).
+
+    Each shard's primary records line up positionally (same read set,
+    name-sorted), so a chunk of 2k records from every shard covers the
+    same k pairs; memory is O(chunk x shards + largest sort bucket).
+    Emits exactly the records the in-memory merge picks, in the same
+    final order (the external sorter's (tid, pos, input-order) key
+    equals the in-memory path's stable lexsort).
+    """
+    import struct
+
+    from .io.bam import BamStreamReader
+    from .mapping.pipeline import RecordSpillSorter
+
+    genome_exclusion = genome_exclusion or NoExclusionGenomeFilter()
+    readers = [BamStreamReader(p, cut_contigs=False).read()
+               for p in bam_paths]
+    headers = [h for h, _gen in readers]
+    gens = [gen for _h, gen in readers]
+    tid_offsets = np.concatenate(
+        ([0], np.cumsum([h.n_ref for h in headers])))[:-1]
+    merged_names = [n for h in headers for n in h.target_names]
+    merged_lens = np.concatenate([h.target_lens for h in headers])
+    merged_header = BamHeader(text="", target_names=merged_names,
+                              target_lens=merged_lens, raw=b"")
+    n_shards = len(gens)
+    excluding = not isinstance(genome_exclusion, NoExclusionGenomeFilter)
+
+    def batches():
+        sorter = RecordSpillSorter(len(merged_names))
+        pending = [[] for _ in range(n_shards)]   # primary-only batches
+        avail = [0] * n_shards
+        done = [False] * n_shards
+
+        def refill(s):
+            while not done[s] and avail[s] < 2:
+                nxt = next(gens[s], None)
+                if nxt is None:
+                    done[s] = True
+                    return
+                keep = nxt.is_primary()
+                if not np.all((nxt.flag[keep] & 0x1) != 0):
+                    raise SystemExit(
+                        "This code can only handle paired-end input (at "
+                        "the moment), sorry.")
+                b = nxt.select(keep)
+                if b.n_records:
+                    pending[s].append(b)
+                    avail[s] += b.n_records
+
+        def take(s, k):
+            """Pop k primary records from shard s as column arrays +
+            per-record byte views."""
+            cols = {"tid": [], "pos": [], "flag": [], "as_score": [],
+                    "qname_hash": []}
+            recs = []
+            left = k
+            while left:
+                b = pending[s][0]
+                m = min(left, b.n_records)
+                for f in cols:
+                    cols[f].append(getattr(b, f)[:m])
+                data = b.data
+                for i in range(m):
+                    recs.append(bytes(
+                        data[int(b.rec_start[i]):int(b.rec_end[i])]))
+                rest = b.select(np.arange(b.n_records) >= m)
+                if rest.n_records:
+                    pending[s][0] = rest
+                else:
+                    pending[s].pop(0)
+                avail[s] -= m
+                left -= m
+            return {f: np.concatenate(v) for f, v in cols.items()}, recs
+
+        CHUNK_PAIRS = 8192
+        while True:
+            for s in range(n_shards):
+                refill(s)
+            if all(done) and all(a == 0 for a in avail):
+                break
+            if any(done[s] and avail[s] == 0 for s in range(n_shards)):
+                raise SystemExit(
+                    "Unexpectedly one BAM file input finished while "
+                    "another had further reads")
+            # keep pulling until every shard holds >= one chunk or is done
+            while any(not done[s] and avail[s] < 2 * CHUNK_PAIRS
+                      for s in range(n_shards)):
+                for s in range(n_shards):
+                    if not done[s] and avail[s] < 2 * CHUNK_PAIRS:
+                        nxt = next(gens[s], None)
+                        if nxt is None:
+                            done[s] = True
+                            continue
+                        keep = nxt.is_primary()
+                        if not np.all((nxt.flag[keep] & 0x1) != 0):
+                            raise SystemExit(
+                                "This code can only handle paired-end "
+                                "input (at the moment), sorry.")
+                        b = nxt.select(keep)
+                        if b.n_records:
+                            pending[s].append(b)
+                            avail[s] += b.n_records
+            k = min(min(avail), 2 * CHUNK_PAIRS)
+            k -= k % 2
+            if k == 0:
+                if all(done):
+                    if any(avail):
+                        raise SystemExit(
+                            "Unexpectedly was able to read a first read "
+                            "set, but not a second. Hmm.")
+                    break
+                continue
+            chunks = [take(s, k) for s in range(n_shards)]
+            for c in chunks[1:]:
+                if not np.array_equal(c[0]["qname_hash"],
+                                      chunks[0][0]["qname_hash"]):
+                    raise SystemExit(
+                        "BAM files do not appear to be properly sorted "
+                        "by read name.")
+            n_pairs = k // 2
+            scores = np.zeros((n_shards, n_pairs), dtype=np.int64)
+            allowed = np.ones((n_shards, n_pairs), dtype=bool)
+            for s, (cols, _recs) in enumerate(chunks):
+                unmapped = (cols["flag"] & 0x4) != 0
+                as_ = np.where(unmapped, 0, cols["as_score"])
+                if np.any((~unmapped)
+                          & (cols["as_score"] == np.iinfo(np.int64).min)):
+                    raise SystemExit(
+                        "Mapping record encountered that does not have an "
+                        "'AS' auxiliary tag in the SAM/BAM format. This is "
+                        "required for ranking pairs of alignments.")
+                scores[s] = as_[0::2] + as_[1::2]
+                if excluding:
+                    names = headers[s].target_names
+                    first_tids = cols["tid"][0::2]
+                    excl = np.array([
+                        t >= 0 and genome_exclusion.is_excluded(names[t])
+                        for t in first_tids.tolist()])
+                    allowed[s] = ~excl
+            masked = np.where(allowed, scores, np.iinfo(np.int64).min)
+            if np.any(~allowed.any(axis=0)):
+                raise SystemExit(
+                    "CoverM cannot currently deal with reads that only "
+                    "map to excluded genomes")
+            winner = np.argmax(masked, axis=0)  # ties -> lowest shard
+
+            for p in range(n_pairs):
+                s = int(winner[p])
+                off = int(tid_offsets[s])
+                cols, recs = chunks[s]
+                for i in (2 * p, 2 * p + 1):
+                    rec = bytearray(recs[i])
+                    tid = int(cols["tid"][i])
+                    new_tid = tid + off  # offset applies even to tid -1,
+                    # matching the in-memory merge / shard_bam_reader.rs
+                    struct.pack_into("<i", rec, 4, new_tid)
+                    (mtid,) = struct.unpack_from("<i", rec, 24)
+                    struct.pack_into("<i", rec, 24, mtid + off)
+                    sorter.add(new_tid, rec)
+        yield from sorter.sorted_batches()
+
+    return merged_header, batches()
 
 
 def merge_shards(headers, raw_batches, genome_exclusion=None):

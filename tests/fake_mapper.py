@@ -73,6 +73,19 @@ def main():
     if name is not None:
         contigs.append((name, "".join(seq)))
 
+    if "--aemb" in args:
+        # strobealign --aemb: per-contig mean coverage as 2-column TSV
+        depth = {cname: 0 for cname, _ in contigs}
+        for rp in read_paths:
+            for _qname, seq in read_fastx(rp):
+                for cname, cseq in contigs:
+                    if cseq.find(seq) >= 0:
+                        depth[cname] += len(seq)
+                        break
+        for cname, cseq in contigs:
+            sys.stdout.write(f"{cname}\t{depth[cname] / len(cseq):.6f}\n")
+        return 0
+
     out = sys.stdout
     out.write("@HD\tVN:1.6\tSO:unsorted\n")
     for cname, cseq in contigs:

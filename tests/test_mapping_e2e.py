@@ -306,3 +306,20 @@ def test_cache_unfiltered_bam_files_e2e(fake_mappers, simple_ref, tmp_path,
     assert out.endswith("ref.fna/reads.fq\tc1\t1.5\n")
     r = BamReader(str(cache))
     assert r.batch.n_records == 3
+
+
+def test_strobealign_aemb(fake_mappers, simple_ref, capsys):
+    """-m strobealign-aemb: the mapper's 2-column abundance TSV streams
+    straight through the taker/printer, bypassing the estimator suite
+    (strobealign_aemb.rs:13-108). Driven end-to-end with the fake
+    strobealign's --aemb emulation."""
+    ref, reads, _ = simple_ref
+    rc = main(["contig", "-r", str(ref), "--single", str(reads),
+               "-m", "strobealign-aemb"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    rows = [l.split("\t") for l in out.strip().split("\n")]
+    assert rows[0][0] == "Contig"
+    # 3x100bp reads on the 200bp contig -> mean coverage 1.5
+    assert rows[1][0] == "c1"
+    assert abs(float(rows[1][1]) - 1.5) < 1e-6
