@@ -286,9 +286,16 @@ def main():
     threads = [prewarm_sweep(nb, nref, EE, need_hist=False, trim=TRIM,
                              len_mode=lm, start_mode=sm)
                for nb, nref, lm, sm in sigs]
+    # bounded wait: if the (remote) compile service is slow, proceed —
+    # remaining compiles happen lazily inside the first timed pass and
+    # are charged to warmup_s either way
+    deadline = time.time() + float(os.environ.get(
+        "COVERM_TPU_PREWARM_TIMEOUT_S", 600))
     for t in threads:
-        t.join()
-    log(f"prewarm joined at +{time.time()-t_warm0:.1f}s")
+        t.join(timeout=max(0.0, deadline - time.time()))
+    stragglers = sum(t.is_alive() for t in threads)
+    log(f"prewarm joined at +{time.time()-t_warm0:.1f}s"
+        + (f" ({stragglers} compiles still in flight)" if stragglers else ""))
 
     devnull = open(os.devnull, "w")
     rm = production_pass(devnull)  # first pass: d2h setup + residual compile
