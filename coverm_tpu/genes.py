@@ -210,6 +210,12 @@ class _GeneAccum:
         self._pending = []
 
     def add_depth(self, depth):
+        if getattr(depth, "hist_wide", None):
+            # ragged overflow rows of very deep genes: fold back densely
+            # (gene rows are few relative to contigs)
+            from .modes import _dense_hist
+            depth.hist = _dense_hist(depth)
+            depth.hist_wide = None
         self.sum_depth_window += depth.sum_depth_window
         self.covered_window += depth.covered_window
         self.covered_full += depth.covered_full

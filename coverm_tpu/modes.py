@@ -98,12 +98,40 @@ def _entity_stats(scan: SampleScan, layout: ReferenceLayout, observed_tids,
     s.mismatches = int(scan.mismatches[observed_tids].sum())
     s.sum_identity = float(identity[observed_tids].sum())
     if d.hist is not None:
-        s.hist = d.hist[observed_tids].sum(axis=0)
+        s.hist = _sum_hist_rows(d, observed_tids)
     if contig_mode:
         s.unobserved_lengths = [0]
     else:
         s.unobserved_lengths = [int(l) for l in layout.lengths[unobserved_tids]]
     return s
+
+
+def _sum_hist_rows(d, idx):
+    """Sum histogram rows over contig indices, folding in the ragged
+    overflow rows (DepthStats.hist_wide) of very deep contigs."""
+    idx = np.asarray(idx)
+    wide = d.hist_wide or {}
+    rows = [wide[int(i)] for i in idx if int(i) in wide]
+    W = max([d.hist.shape[1]] + [len(r) for r in rows])
+    out = np.zeros(W, dtype=np.int64)
+    out[: d.hist.shape[1]] = d.hist[idx].sum(axis=0)
+    for r in rows:
+        out[: len(r)] += r
+    return out
+
+
+def _dense_hist(d):
+    """Dense [C, W] histogram with overflow rows folded back in (W grows
+    to the deepest overflow row; used only on paths that require a
+    rectangular matrix)."""
+    if not d.hist_wide:
+        return d.hist
+    W = max(d.hist.shape[1], max(len(r) for r in d.hist_wide.values()))
+    out = np.zeros((d.hist.shape[0], W), dtype=np.int64)
+    out[:, : d.hist.shape[1]] = d.hist
+    for c, r in d.hist_wide.items():
+        out[c, : len(r)] = r
+    return out
 
 
 def _batch_stats(scan: SampleScan, layout: ReferenceLayout):
@@ -122,7 +150,7 @@ def _batch_stats(scan: SampleScan, layout: ReferenceLayout):
         reads=scan.reads_primary,
         mismatches=scan.mismatches,
         sum_identity=scan.identity_sum_primary,
-        hist=d.hist,
+        hist=None if d.hist is None else _dense_hist(d),
         sumsq_window=d.sumsq_window,
         min_depth_window=d.min_depth_window,
         trimmed_sum=d.trimmed_sum,
@@ -228,8 +256,13 @@ def _genome_batch_stats(scan: SampleScan, layout: ReferenceLayout,
 
     hist = None
     if d.hist is not None:
-        hist = np.zeros((n_genomes, d.hist.shape[1]), dtype=np.int64)
-        np.add.at(hist, g[obs], d.hist[obs])
+        wide = d.hist_wide or {}
+        W = max([d.hist.shape[1]] + [len(r) for r in wide.values()])
+        hist = np.zeros((n_genomes, W), dtype=np.int64)
+        np.add.at(hist[:, : d.hist.shape[1]], g[obs], d.hist[obs])
+        for c, r in wide.items():
+            if obs[c]:
+                hist[g[c], : len(r)] += r
 
     sumsq = seg_int(d.sumsq_window, obs) if d.sumsq_window is not None else None
     min_depth = None

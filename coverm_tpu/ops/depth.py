@@ -208,6 +208,9 @@ class DepthStats:
     # O(contigs x max_depth) — prohibitive at assembly scale)
     sumsq_window: np.ndarray | None = None  # int64[C] Σ depth² inside window
     min_depth_window: np.ndarray | None = None  # int64[C] min depth in window
+    # ragged overflow rows for contigs whose depth exceeds the dense hist
+    # width (tid -> full int64 row); dense rows for those tids are zero
+    hist_wide: dict | None = None
 
 
 def stats_core_math(scatter_idx, scatter_val, pos_seg, window_mask, valid_mask,

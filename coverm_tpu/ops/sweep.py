@@ -729,11 +729,12 @@ class PendingDepthStats:
     host decode + h2d behind this batch's device compute."""
 
     def __init__(self, dev, redo, layout, n_seg, n_out, obs, tids,
-                 need_hist, trim, n_bins):
+                 need_hist, trim, n_bins, blocks=None):
         self._dev = dev
         self._redo = redo
         self._args = (layout, n_seg, n_out, obs, tids, need_hist, trim)
         self._n_bins = n_bins
+        self._blocks = blocks  # original (tids, starts, ends) numpy arrays
 
     def start_fetch(self):
         """Begin the async device->host copy (overlaps multiple pending
@@ -749,7 +750,38 @@ class PendingDepthStats:
         packed = np.asarray(jax.device_get(self._dev))
         gmax = int(packed[6 * n_seg])
         if need_hist and gmax >= self._n_bins:
-            # speculative width overflowed: one wider re-dispatch
+            if self._blocks is not None:
+                # A handful of very deep contigs must not widen every
+                # contig's histogram row (a uniform re-dispatch would
+                # materialise O(contigs x max_depth) — 7 GB on a 54k-
+                # contig assembly with one 16k-deep contig — and compile
+                # a fresh wide kernel).  Keep the speculative-width
+                # device result for the normal contigs and recompute the
+                # overflow contigs' exact rows on host via the oracle
+                # over a sub-layout, stored as a ragged side table.
+                d = unpack_packed(layout, packed, n_seg, n_out, obs, tids,
+                                  need_hist, trim, self._n_bins)
+                of = np.flatnonzero(d.max_depth_window >= self._n_bins)
+                if of.size:
+                    from .depth import (ReferenceLayout,
+                                        compute_depth_stats_numpy)
+                    bt, bs, be = self._blocks
+                    bt = np.asarray(bt)
+                    sel = np.isin(bt, of)
+                    remap = np.full(layout.n_contigs, -1, np.int64)
+                    remap[of] = np.arange(of.size)
+                    sub = ReferenceLayout.build(
+                        layout.lengths[of], layout.contig_end_exclusion)
+                    dd = compute_depth_stats_numpy(
+                        sub, remap[bt[sel]], np.asarray(bs)[sel],
+                        np.asarray(be)[sel], need_hist=True)
+                    wide = {}
+                    for j, c in enumerate(of.tolist()):
+                        wide[c] = dd.hist[j].astype(np.int64)
+                        d.hist[c, :] = 0
+                    d.hist_wide = wide
+                return d
+            # no retained blocks: one uniform wider re-dispatch
             self._n_bins = _bucket(gmax + 1, minimum=128)
             packed = np.asarray(jax.device_get(self._redo(self._n_bins)))
         return unpack_packed(layout, packed, n_seg, n_out, obs, tids,
@@ -894,7 +926,7 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
 
     pending = PendingDepthStats(dispatch(SPEC_HIST_BINS), dispatch, layout,
                                 n_seg, n_out, obs, tids, need_hist, trim,
-                                SPEC_HIST_BINS)
+                                SPEC_HIST_BINS, blocks=(tids, starts, ends))
     return pending if deferred else pending.result()
 
 

@@ -174,7 +174,7 @@ def compute_depth_stats_sweep_multihost(layout, tids, starts, ends,
 
     pending = PendingDepthStats(dispatch(SPEC_HIST_BINS), dispatch, layout,
                                 n_seg, n_out, obs, tids_s, need_hist, trim,
-                                SPEC_HIST_BINS)
+                                SPEC_HIST_BINS, blocks=(tids, starts, ends))
     return pending if deferred else pending.result()
 
 

@@ -175,7 +175,8 @@ def compute_depth_stats_sweep_mesh(layout: ReferenceLayout, tids, starts,
     # upper bound on the true maximum, used only to trigger (possibly
     # over-wide, never under-wide) histogram re-dispatch.
     pending = PendingDepthStats(dispatch(n_bins), dispatch, layout, n_seg,
-                                n_out, obs, tids_s, need_hist, trim, n_bins)
+                                n_out, obs, tids_s, need_hist, trim, n_bins,
+                                blocks=(tids, starts, ends))
     return pending if deferred else pending.result()
 
 

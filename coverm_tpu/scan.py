@@ -135,13 +135,18 @@ def merge_depth_stats(da: DepthStats, db: DepthStats) -> DepthStats:
         return None if x is None else x + y
 
     hist = None
+    hist_wide = None
     if da.hist is not None:
         wa, wb = da.hist.shape[1], db.hist.shape[1]
         W = max(wa, wb)
         hist = np.zeros((da.hist.shape[0], W), dtype=np.int64)
         hist[:, :wa] += da.hist
         hist[:, :wb] += db.hist
+        if da.hist_wide or db.hist_wide:
+            # contig-disjoint batches: ragged overflow rows never collide
+            hist_wide = {**(da.hist_wide or {}), **(db.hist_wide or {})}
     return DepthStats(
+        hist_wide=hist_wide,
         sum_depth_window=da.sum_depth_window + db.sum_depth_window,
         covered_window=da.covered_window + db.covered_window,
         covered_full=da.covered_full + db.covered_full,

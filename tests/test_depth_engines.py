@@ -90,3 +90,39 @@ def test_trimmed_sum_matches_scalar_walk(engine, seed, ee, trim):
         got_val = f32(int(got.trimmed_sum[c])) / f32(hi - lo)
         assert got_val == want or (np.isnan(got_val) and np.isnan(want)), (
             engine.__name__, c, got_val, want, int(got.trimmed_sum[c]))
+
+
+def test_hist_overflow_stays_ragged():
+    """One very deep contig must NOT widen every contig's histogram row
+    (the old uniform re-dispatch materialised O(contigs x max_depth));
+    overflow rows land in DepthStats.hist_wide, exact vs the oracle."""
+    from coverm_tpu.ops.sweep import SPEC_HIST_BINS
+
+    rng = np.random.default_rng(9)
+    C = 40
+    lengths = np.full(C, 3000, dtype=np.int64)
+    layout = ReferenceLayout.build(lengths, 10)
+    # contig 7: depth ~ 700 (> SPEC_HIST_BINS=512); others shallow
+    deep_n = 700
+    tids = np.concatenate([np.full(deep_n, 7), rng.integers(0, C, 500)])
+    tids = np.sort(tids).astype(np.int64)
+    starts = np.where(tids == 7, 100, (rng.random(tids.size) * 2800)).astype(
+        np.int64)
+    ends = np.minimum(starts + 150, lengths[tids])
+
+    got = compute_depth_stats_sweep(layout, tids, starts, ends,
+                                    need_hist=True)
+    want = compute_depth_stats_numpy(layout, tids, starts, ends,
+                                     need_hist=True)
+
+    assert got.hist.shape[1] <= SPEC_HIST_BINS  # dense stays speculative
+    assert got.hist_wide and 7 in got.hist_wide
+    assert np.all(got.hist[7] == 0)
+    for c in range(C):
+        row = got.hist_wide.get(c, got.hist[c])
+        wrow = want.hist[c]
+        W = max(len(row), len(wrow))
+        g = np.zeros(W, np.int64); g[:len(row)] = row
+        w = np.zeros(W, np.int64); w[:len(wrow)] = wrow
+        if c in np.unique(tids):
+            np.testing.assert_array_equal(g, w, err_msg=f"contig {c}")
