@@ -126,3 +126,35 @@ def test_hist_overflow_stays_ragged():
         w = np.zeros(W, np.int64); w[:len(wrow)] = wrow
         if c in np.unique(tids):
             np.testing.assert_array_equal(g, w, err_msg=f"contig {c}")
+
+
+def test_hist_wide_folding_helpers():
+    """modes._sum_hist_rows / _dense_hist / _genome_batch_stats must fold
+    ragged overflow rows exactly as if the histogram were dense."""
+    from coverm_tpu.modes import _dense_hist, _sum_hist_rows
+    from coverm_tpu.ops.depth import DepthStats
+
+    rng = np.random.default_rng(3)
+    C, W = 6, 8
+    dense = rng.integers(0, 50, (C, W)).astype(np.int64)
+    wide_row = rng.integers(0, 50, 30).astype(np.int64)
+    full = dense.copy()
+    # contig 4 overflows: its true row is wide_row
+    d = DepthStats(*(np.zeros(C, np.int64) for _ in range(4)),
+                   hist=dense.copy())
+    d.hist[4] = 0
+    d.hist_wide = {4: wide_row}
+
+    folded = _dense_hist(d)
+    assert folded.shape == (C, 30)
+    np.testing.assert_array_equal(folded[4], wide_row)
+    np.testing.assert_array_equal(folded[1][:W], full[1])
+
+    s = _sum_hist_rows(d, np.array([1, 4]))
+    expect = np.zeros(30, np.int64)
+    expect[:W] = full[1]
+    expect[:30] += wide_row
+    np.testing.assert_array_equal(s, expect)
+
+    s2 = _sum_hist_rows(d, np.array([0, 2]))  # no wide rows involved
+    np.testing.assert_array_equal(s2, full[0] + full[2])
