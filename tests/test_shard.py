@@ -87,3 +87,24 @@ def test_stream_merge_through_cli_scan(ref_data, monkeypatch):
         "shard1|shard2\tgenome1~random_sequence_length_11000\t0.10909091\n"
         "shard1|shard2\tgenome1~random_sequence_length_11010\t0.108991824\n"
         "shard1|shard2\tgenome2~seq1\t0\n")
+
+
+def test_stream_merge_exclusion_matches_in_memory(ref_data):
+    """The genome-exclusion veto must behave identically on the
+    streaming and in-memory deshard paths."""
+    import numpy as np
+
+    from coverm_tpu.genome_exclusion import SeparatorGenomeExclusionFilter
+    from coverm_tpu.io.bam import BamReader
+    from coverm_tpu.shard import merge_shards, stream_merge_shards
+
+    paths = [ref_data("shard1.bam"), ref_data("shard2.bam")]
+    ex = SeparatorGenomeExclusionFilter(["genome1"], "~")
+    shards = [BamReader(p) for p in paths]
+    _h, batch_m = merge_shards([s.header for s in shards],
+                               [s.batch for s in shards], ex)
+    _h2, gen = stream_merge_shards(paths, ex)
+    batches = list(gen)
+    for f in ("tid", "pos", "flag", "as_score", "qname_hash"):
+        got = np.concatenate([getattr(b, f) for b in batches])
+        np.testing.assert_array_equal(got, getattr(batch_m, f), f)
