@@ -266,12 +266,40 @@ def baseline(n_reads):
     return n_reads / best
 
 
+def _backend_alive(timeout_s: float) -> bool:
+    """Probe a tiny jitted computation in a killable subprocess: a
+    degraded TPU tunnel can list devices fine yet HANG compilation
+    forever, which would hang the whole bench."""
+    import subprocess
+    # the sort is the sweep's dominant primitive; a degraded remote
+    # compile service has been observed hanging exactly this class of
+    # kernel while trivial elementwise jits still compile
+    probe = ("import jax, jax.numpy as jnp; "
+             "jax.jit(lambda x: jax.lax.sort(x))("
+             "jnp.arange(200000) % 977).block_until_ready(); "
+             "print('ok')")
+    try:
+        res = subprocess.run([sys.executable, "-c", probe],
+                             timeout=timeout_s, capture_output=True,
+                             text=True)
+        return res.returncode == 0 and "ok" in res.stdout
+    except Exception:
+        return False
+
+
 def main():
+    t_start = time.time()
+    if not os.environ.get("COVERM_TPU_PLATFORM") and not _backend_alive(
+            float(os.environ.get("COVERM_TPU_BENCH_INIT_TIMEOUT_S", 240))):
+        log("TPU backend unresponsive: falling back to CPU "
+            "(JSON reports the platform measured)")
+        os.environ["COVERM_TPU_PLATFORM"] = "cpu"
+
     from coverm_tpu.ops.depth import start_transfer_warmup
 
-    t_start = time.time()
     start_transfer_warmup()  # d2h channel setup runs in the background
     import jax
+    platform = jax.devices()[0].platform
     log(f"devices: {jax.devices()}")
 
     n_reads = ensure_bam()
@@ -326,6 +354,7 @@ def main():
         "value": round(prod_rps),
         "unit": "reads/s",
         "vs_baseline": round(prod_rps / base_rps, 3),
+        "platform": platform,
         "warmup_s": round(warmup_s, 1),
         "device_only_reads_per_s": round(dev_rps),
         "baseline_reads_per_s": round(base_rps),
