@@ -300,10 +300,39 @@ def run_filter(args):
         # flips it (coverm.rs:453 passes !inverse).  Streaming rewrite —
         # memory bounded by segment size, multi-GB headers copied through
         # in chunks (test_cmdline.rs:4212-4369).
-        kept, total = stream_filter_bam(in_path, out_path, fp, ff,
-                                        inverse=args.inverse)
+        tmp = None
+        orig_path = in_path
+        with open(in_path, "rb") as f:
+            magic = f.read(4)
+        if magic == b"CRAM":
+            # htslib reads CRAM transparently and `filter` writes BAM
+            # out (lib.rs:138-180); lower CRAM containerwise to an
+            # uncompressed BAM spool, then stream-filter that
+            import mmap
+            import tempfile
+            from .io import bgzf
+            from .io.cram import iter_bam_segments
+            tmp = tempfile.NamedTemporaryFile(suffix=".bam", delete=False)
+            with open(in_path, "rb") as f:
+                mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+                try:
+                    for seg in iter_bam_segments(mm):
+                        for o in range(0, len(seg), 0xFF00):
+                            tmp.write(bgzf.compress_block(
+                                bytes(seg[o:o + 0xFF00]), 1))
+                finally:
+                    mm.close()
+            tmp.write(bgzf.BGZF_EOF)
+            tmp.close()
+            in_path = tmp.name
+        try:
+            kept, total = stream_filter_bam(in_path, out_path, fp, ff,
+                                            inverse=args.inverse)
+        finally:
+            if tmp is not None:
+                os.unlink(tmp.name)
         print(
-            f"In sample '{os.path.basename(in_path)}', found "
+            f"In sample '{os.path.basename(orig_path)}', found "
             f"{kept} reads passing filter out of {total} total",
             file=sys.stderr)
     return 0

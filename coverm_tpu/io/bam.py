@@ -318,12 +318,11 @@ def parse_bam_bytes(raw: bytes) -> tuple:
     if raw[:4] == b"BAM\x01":
         return parse_bam_data_raw(raw)
     if raw[:4] == b"CRAM":
-        # the reference reads CRAM through htslib (lib.rs:138-180); the
-        # engine decodes BAM/SAM natively and does not implement the
-        # CRAM codec — fail with a clear remedy instead of "bad magic"
-        raise BamFormatError(
-            "CRAM input is not supported by this engine. Convert to BAM "
-            "first, e.g.: samtools view -b -T ref.fna in.cram > in.bam")
+        # the reference reads CRAM through htslib (lib.rs:138-180); here
+        # the native CRAM 3.0 decoder lowers containers to uncompressed
+        # BAM record bytes and the one vectorised parser handles both
+        from .cram import cram_to_bam_data
+        return parse_bam_data_raw(cram_to_bam_data(raw))
     if raw[:2] != b"\x1f\x8b":
         from .sam import sam_text_to_bam_data
         return parse_bam_data_raw(
@@ -524,18 +523,26 @@ class BamStreamReader:
 
     def read(self):
         """(header, batch_iterator) — the header is parsed eagerly."""
-        with open(self.path, "rb") as f:
-            magic = f.read(4)
-        if magic == b"CRAM":
-            raise BamFormatError(
-                "CRAM input is not supported by this engine. Convert to "
-                "BAM first, e.g.: samtools view -b -T ref.fna in.cram > "
-                "in.bam")
         gen = self._run()
         header = next(gen)
         return header, gen
 
     def _segments(self):
+        with open(self.path, "rb") as f:
+            magic = f.read(4)
+        if magic == b"CRAM":
+            # containerwise CRAM decode: each yielded segment is
+            # uncompressed-BAM bytes, so _run()'s header parse /
+            # contig-boundary cutting applies unchanged
+            from .cram import iter_bam_segments
+            import mmap
+            with open(self.path, "rb") as f:
+                mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+                try:
+                    yield from iter_bam_segments(mm)
+                finally:
+                    mm.close()
+            return
         from . import native
         if native.get_lib() is not None:
             mm = np.memmap(self.path, np.uint8, mode="r")

@@ -220,15 +220,15 @@ def test_every_flag_has_help_text():
         assert "FREQUENTLY ASKED QUESTIONS:" in text
 
 
-def test_cram_input_clear_error(tmp_path, capsys):
-    """A .cram input must fail with a clear conversion hint, not a
-    generic bad-magic error (the reference reads CRAM via htslib;
-    lib.rs:138-180)."""
+def test_corrupt_cram_input_clear_error(tmp_path, capsys):
+    """CRAM decodes natively now (io/cram.py; test_cram.py covers the
+    happy path); a truncated/corrupt .cram must fail with the
+    reference-style `Error:` line, not a raw traceback."""
     cram = tmp_path / "x.cram"
     cram.write_bytes(b"CRAM\x03\x00" + b"\x00" * 64)
     from coverm_tpu.cli import main
     with pytest.raises(SystemExit):
         main(["contig", "-b", str(cram), "-m", "mean"])
     err = capsys.readouterr().err
-    assert "CRAM input is not supported" in err
-    assert "samtools view -b" in err
+    assert "Error:" in err
+    assert "corrupt CRAM" in err
