@@ -426,6 +426,11 @@ def rans_compress(data: bytes, order: int = 0) -> bytes:
 
 def rans_decompress(blob: bytes) -> bytes:
     order = blob[0]
+    if order in (0, 1):
+        from . import native
+        dec = native.rans_decode(blob)
+        if dec is not None:
+            return dec
     comp_len, n_out = struct.unpack_from("<II", blob, 1)
     if order == 0:
         return rans_decode_o0(blob, 9, comp_len, n_out)

@@ -75,6 +75,11 @@ def get_lib():
                 c_i32p, c_i64p, c_i32p, c_i32p, c_i32p, ctypes.c_int32]
         except AttributeError:
             pass  # stale .so without the full parser; callers fall back
+        try:
+            lib.ct_rans_decode.restype = c_i64
+            lib.ct_rans_decode.argtypes = [c_u8p, c_i64, c_u8p, c_i64]
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
 
@@ -280,3 +285,20 @@ def scan_records(data, header_end: int, end: int | None = None):
     if filled != n:
         return None
     return rec_off, nm, as_score, qh
+
+
+def rans_decode(blob) -> bytes | None:
+    """Native rANS 4x8 block decode (order 0/1); None -> caller falls
+    back to the pure-python decoder in io/cram.py."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ct_rans_decode"):
+        return None
+    arr = _as_u8(blob)
+    if arr.size < 9:
+        return None
+    n_out = int(np.frombuffer(arr[5:9].tobytes(), np.uint32)[0])
+    out = np.empty(max(n_out, 1), np.uint8)
+    r = lib.ct_rans_decode(_u8p(arr), arr.size, _u8p(out), n_out)
+    if r != n_out:
+        return None
+    return out[:n_out].tobytes()

@@ -469,4 +469,163 @@ int64_t ct_walk_refs(const uint8_t* data, int64_t size, int64_t off,
   return off;
 }
 
+// ---------------------------------------------------------------- rANS ----
+// rANS 4x8 decode (CRAM spec section 13): 12-bit normalised
+// frequencies, lower bound 1<<23, 4 states.  Order-0 interleaves the
+// states positionally (i & 3); order-1 gives each state a contiguous
+// quarter with previous-byte contexts.  Mirrors io/cram.py's Python
+// reference implementation (kept as the portable fallback).
+
+namespace {
+
+struct RansTable {
+  uint32_t freq[256];
+  uint32_t cum[257];
+  uint8_t lookup[1 << 12];
+};
+
+// Parse the RLE symbol list + 1-2 byte frequencies; returns new offset
+// or -1 on malformed input.
+int64_t rans_read_freqs(const uint8_t* in, int64_t len, int64_t p,
+                        RansTable* t) {
+  memset(t->freq, 0, sizeof(t->freq));
+  if (p >= len) return -1;
+  int sym = in[p++];
+  int rle = 0;
+  while (true) {
+    if (p >= len) return -1;
+    uint32_t f = in[p++];
+    if (f >= 128) {
+      if (p >= len) return -1;
+      f = ((f & 0x7F) << 8) | in[p++];
+    }
+    t->freq[sym] = f;
+    if (rle > 0) {
+      rle--;
+      sym++;
+    } else {
+      if (p >= len) return -1;
+      int nxt = in[p++];
+      if (nxt == sym + 1) {
+        if (p >= len) return -1;
+        rle = in[p++];
+        sym = nxt;
+      } else {
+        sym = nxt;
+        if (sym == 0) break;
+      }
+    }
+    if (sym > 255) return -1;
+  }
+  uint32_t c = 0;
+  for (int s = 0; s < 256; s++) {
+    t->cum[s] = c;
+    for (uint32_t k = 0; k < t->freq[s]; k++) {
+      if (c + k >= (1u << 12)) return -1;
+      t->lookup[c + k] = (uint8_t)s;
+    }
+    c += t->freq[s];
+  }
+  t->cum[256] = c;
+  if (c != (1u << 12)) return -1;
+  return p;
+}
+
+}  // namespace
+
+// Decode one rANS 4x8 block (including the 9-byte header: order u8,
+// comp_len u32, out_len u32).  out must hold out_cap bytes; returns the
+// number of bytes written, or a negative error.
+int64_t ct_rans_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
+                       int64_t out_cap) {
+  if (in_len < 9) return -1;
+  int order = in[0];
+  uint32_t out_len;
+  memcpy(&out_len, in + 5, 4);
+  if ((int64_t)out_len > out_cap) return -2;
+  int64_t p = 9;
+  const uint32_t LOW = 1u << 23;
+  if (order == 0) {
+    static thread_local RansTable t;
+    p = rans_read_freqs(in, in_len, p, &t);
+    if (p < 0 || p + 16 > in_len) return -3;
+    uint32_t R[4];
+    memcpy(R, in + p, 16);
+    p += 16;
+    for (int64_t i = 0; i < (int64_t)out_len; i++) {
+      uint32_t& x = R[i & 3];
+      uint32_t f = x & 0xFFF;
+      uint8_t s = t.lookup[f];
+      out[i] = s;
+      x = t.freq[s] * (x >> 12) + f - t.cum[s];
+      while (x < LOW) {
+        if (p >= in_len) return -4;
+        x = (x << 8) | in[p++];
+      }
+    }
+    return out_len;
+  }
+  if (order != 1) return -5;
+  // order-1: per-context tables, outer RLE over contexts
+  static thread_local std::vector<RansTable> tabs;
+  static thread_local std::vector<int16_t> tab_of;
+  tabs.clear();
+  tab_of.assign(256, -1);
+  {
+    if (p >= in_len) return -6;
+    int sym = in[p++];
+    int rle = 0;
+    while (true) {
+      tabs.emplace_back();
+      p = rans_read_freqs(in, in_len, p, &tabs.back());
+      if (p < 0) return -7;
+      tab_of[sym] = (int16_t)(tabs.size() - 1);
+      if (rle > 0) {
+        rle--;
+        sym++;
+      } else {
+        if (p >= in_len) return -8;
+        int nxt = in[p++];
+        if (nxt == sym + 1) {
+          if (p >= in_len) return -9;
+          rle = in[p++];
+          sym = nxt;
+        } else {
+          sym = nxt;
+          if (sym == 0) break;
+        }
+      }
+      if (sym > 255) return -10;
+    }
+  }
+  if (p + 16 > in_len) return -11;
+  uint32_t R[4];
+  memcpy(R, in + p, 16);
+  p += 16;
+  int64_t q = (int64_t)out_len >> 2;
+  uint8_t last[4] = {0, 0, 0, 0};
+  auto dec = [&](int j, int64_t pos) -> int {
+    int16_t ti = tab_of[last[j]];
+    if (ti < 0) return -12;
+    RansTable& t = tabs[ti];
+    uint32_t& x = R[j];
+    uint32_t f = x & 0xFFF;
+    uint8_t s = t.lookup[f];
+    out[pos] = s;
+    x = t.freq[s] * (x >> 12) + f - t.cum[s];
+    while (x < LOW) {
+      if (p >= in_len) return -13;
+      x = (x << 8) | in[p++];
+    }
+    last[j] = s;
+    return 0;
+  };
+  for (int64_t i = 0; i < q; i++)
+    for (int j = 0; j < 4; j++)
+      if (dec(j, (int64_t)j * q + i)) return -14;
+  for (int64_t pos = 4 * q; pos < (int64_t)out_len; pos++)
+    if (dec(3, pos)) return -15;
+  return out_len;
+}
+
 }  // extern "C"

@@ -48,8 +48,15 @@ def test_rans_roundtrip(order):
         bytes(rng.choice([0, 7, 255], 777)),
         bytes(np.repeat(np.arange(256, dtype=np.uint8), 17)),
     ]
+    import struct as _struct
     for d in cases:
-        assert cram.rans_decompress(cram.rans_compress(d, order)) == d
+        enc = cram.rans_compress(d, order)
+        assert cram.rans_decompress(enc) == d  # native path when built
+        # pure-python decoder stays correct (the portable fallback)
+        _clen, n_out = _struct.unpack_from("<II", enc, 1)
+        py = (cram.rans_decode_o0 if enc[0] == 0   # tiny inputs encode O0
+              else cram.rans_decode_o1)(enc, 9, _clen, n_out)
+        assert py == d
 
 
 def test_eof_container_is_canonical():
