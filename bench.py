@@ -4,7 +4,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Workload: a synthetic metagenomic sample — 32 contigs x 1 Mbp at 20x
 coverage with 150 bp reads (~4.27M aligned reads) — written ONCE as a
-real BGZF BAM (~0.6 GB compressed / 1.2 GB decoded), then measured
+real BGZF BAM (~0.11 GB compressed / 1.2 GB decoded; reads are slices
+of the contigs so compression matches real data), then measured
 END TO END through exactly the code `coverm-tpu contig -b sample.bam -m
 mean trimmed_mean variance covered_fraction` runs on one chip:
 BamFileSource -> BamStreamReader (native multi-threaded BGZF inflate,
