@@ -15,6 +15,18 @@ class FlagFilter:
     include_supplementary: bool = True
     include_secondary: bool = False
 
+    def masks(self) -> tuple:
+        """(skip_mask, req_mask) for the native fused scan: a record
+        passes iff (flag & skip) == 0 and (flag & req) == req —
+        equivalent to passes() below."""
+        skip = 0
+        if not self.include_secondary:
+            skip |= 0x100
+        if not self.include_supplementary:
+            skip |= 0x800
+        req = 0 if self.include_improper_pairs else 0x2
+        return skip, req
+
     def passes(self, batch: RecordBatch) -> np.ndarray:
         ok = np.ones(batch.n_records, dtype=bool)
         if not self.include_secondary:

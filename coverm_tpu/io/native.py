@@ -80,6 +80,20 @@ def get_lib():
             lib.ct_rans_decode.argtypes = [c_u8p, c_i64, c_u8p, c_i64]
         except AttributeError:
             pass
+        try:
+            c_f64p = ctypes.POINTER(ctypes.c_double)
+            lib.ct_stats_scan.restype = ctypes.c_void_p
+            lib.ct_stats_scan.argtypes = [c_u8p, c_i64, c_i64, ctypes.c_int32,
+                                          ctypes.c_int32, ctypes.c_int32,
+                                          ctypes.c_int32, c_i64p]
+            lib.ct_stats_fill.restype = ctypes.c_int
+            lib.ct_stats_fill.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32, c_i64p, c_i64p, c_i64p,
+                c_i64p, c_i64p, c_f64p, c_f64p, c_u8p, c_i32p, c_i32p, c_i32p]
+            lib.ct_stats_free.restype = None
+            lib.ct_stats_free.argtypes = [ctypes.c_void_p]
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
 
@@ -159,26 +173,51 @@ def bgzf_scan(arr: np.ndarray):
 
 
 def bgzf_inflate_blocks(arr: np.ndarray, off, csz, usz,
-                        n_threads: int = 0) -> np.ndarray | None:
+                        n_threads: int = 0,
+                        prefix=None) -> np.ndarray | None:
     """Multi-threaded inflate of a RANGE of BGZF blocks from `arr`.
 
     Returns a uint8 ndarray (NOT bytes) so downstream record parsing and
-    contig-boundary cuts are zero-copy views of the inflate buffer."""
+    contig-boundary cuts are zero-copy views of the inflate buffer.
+    `prefix` (bytes/uint8 array) is copied to the head of the output —
+    the streaming scanner's carry of a record straddling the segment
+    boundary, avoiding a full-segment concat copy."""
     lib = get_lib()
     if lib is None:
         return None
+    npre = 0 if prefix is None else len(prefix)
     out_off = np.concatenate(([0], np.cumsum(usz)))[:-1]
-    out = np.empty(int(usz.sum()), np.uint8)
+    out = np.empty(npre + int(usz.sum()), np.uint8)
+    if npre:
+        out[:npre] = _as_u8(prefix)
     if n_threads <= 0:
         n_threads = min(os.cpu_count() or 1, 8)
     rc = lib.ct_bgzf_inflate(_u8p(arr), off.size,
                              _i64p(np.ascontiguousarray(off)),
                              _i64p(np.ascontiguousarray(csz)),
                              _i64p(np.ascontiguousarray(usz)),
-                             _i64p(out_off), _u8p(out), n_threads)
+                             _i64p(out_off), _u8p(out[npre:]), n_threads)
     if rc != 0:
         return None
     return out
+
+
+def bgzf_inflate_into(arr: np.ndarray, off, csz, usz, out: np.ndarray,
+                      at: int, n_threads: int = 0) -> bool:
+    """Inflate a range of BGZF blocks into out[at:] (caller-allocated,
+    e.g. with carry headroom before `at`).  Returns False on failure."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    out_off = np.concatenate(([0], np.cumsum(usz)))[:-1]
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 8)
+    rc = lib.ct_bgzf_inflate(_u8p(arr), off.size,
+                             _i64p(np.ascontiguousarray(off)),
+                             _i64p(np.ascontiguousarray(csz)),
+                             _i64p(np.ascontiguousarray(usz)),
+                             _i64p(out_off), _u8p(out[at:]), n_threads)
+    return rc == 0
 
 
 def walk_refs(data, off: int, n_ref: int):
@@ -285,6 +324,88 @@ def scan_records(data, header_end: int, end: int | None = None):
     if filled != n:
         return None
     return rec_off, nm, as_score, qh
+
+
+class StatsAccum:
+    """Per-contig statistics accumulated across fused native scans.
+
+    The arrays are passed straight to ct_stats_fill, which += into them
+    in deterministic chunk order, so a multi-segment streaming pass
+    accumulates without any numpy merging."""
+
+    def __init__(self, n_ref: int):
+        self.n_ref = n_ref
+        z = lambda: np.zeros(n_ref, np.int64)
+        self.reads_primary = z()
+        self.reads_nonsupp = z()
+        self.reads_all = z()
+        self.nm_sum = z()
+        self.indel_sum = z()
+        self.ident_primary = np.zeros(n_ref, np.float64)
+        self.ident_nonsupp = np.zeros(n_ref, np.float64)
+        self.observed = np.zeros(n_ref, np.uint8)
+        self.n_primary = 0
+        self.nm_missing = 0
+        self.n_records = 0
+        self.last_tid = -1  # cross-segment sortedness
+        self.sorted = True
+
+
+def stats_scan(data, start: int, acc: StatsAccum, skip_mask: int,
+               req_mask: int, end: int | None = None,
+               n_threads: int = 0):
+    """Fused chain-walk + stats + block extraction over the COMPLETE
+    records in [start, end), accumulating per-contig statistics into
+    `acc` (deterministic chunk-ordered merge in C++).
+
+    Returns (btid, bstart, bend, end_off) — the filtered coverage-block
+    arrays in record order — or None when the native entry points are
+    unavailable.  Raises ValueError on malformed records."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ct_stats_scan"):
+        return None
+    arr = _as_u8(data)
+    end = arr.size if end is None else end
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 8)
+    scalars = np.zeros(9, np.int64)
+    h = lib.ct_stats_scan(_u8p(arr), end, start, acc.n_ref, skip_mask,
+                          req_mask, n_threads, _i64p(scalars))
+    if not h:
+        return None
+    try:
+        if scalars[8]:
+            raise ValueError(
+                f"Malformed BAM record {int(scalars[8]) - 1} "
+                "(unknown aux tag type or truncated record)")
+        n_blocks = int(scalars[2])
+        btid = np.empty(n_blocks, np.int32)
+        bstart = np.empty(n_blocks, np.int32)
+        bend = np.empty(n_blocks, np.int32)
+        c_i32p = ctypes.POINTER(ctypes.c_int32)
+        c_f64p = ctypes.POINTER(ctypes.c_double)
+        rc = lib.ct_stats_fill(
+            h, acc.n_ref, _i64p(acc.reads_primary), _i64p(acc.reads_nonsupp),
+            _i64p(acc.reads_all), _i64p(acc.nm_sum), _i64p(acc.indel_sum),
+            acc.ident_primary.ctypes.data_as(c_f64p),
+            acc.ident_nonsupp.ctypes.data_as(c_f64p), _u8p(acc.observed),
+            btid.ctypes.data_as(c_i32p), bstart.ctypes.data_as(c_i32p),
+            bend.ctypes.data_as(c_i32p))
+        if rc != 0:
+            raise ValueError("BAM record references an out-of-range tid")
+    finally:
+        lib.ct_stats_free(h)
+    acc.n_primary += int(scalars[3])
+    acc.nm_missing += int(scalars[4])
+    acc.n_records += int(scalars[0])
+    first_tid, last_tid = int(scalars[6]), int(scalars[7])
+    if not scalars[5]:
+        acc.sorted = False
+    if first_tid >= 0:
+        if acc.last_tid >= 0 and first_tid < acc.last_tid:
+            acc.sorted = False
+        acc.last_tid = last_tid
+    return btid, bstart, bend, int(scalars[1])
 
 
 def rans_decode(blob) -> bytes | None:

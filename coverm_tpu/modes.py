@@ -82,8 +82,9 @@ class BamFileSource:
             with open(self.path, "rb") as f:
                 magic = f.read(4)
             if magic[:2] == b"\x1f\x8b" or magic == b"CRAM":
-                from .io.bam import BamStreamReader
-                return BamStreamReader(self.path).read()
+                from .io.fastscan import FusedScanStream
+                stream = FusedScanStream(self.path)
+                return stream.open(), stream
         r = BamReader(self.path)
         return r.header, r.batch
 

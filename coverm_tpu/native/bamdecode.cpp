@@ -629,3 +629,351 @@ int64_t ct_rans_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------- fused stats scan ----
+// The host-ingestion fast path: ONE pass over decoded BAM bytes that
+// computes everything the coverage scan layer needs (the per-record
+// work of contig.rs:107-215 + the per-contig bincounts of genome.rs)
+// WITHOUT materialising per-record arrays:
+//   - per-contig read counts (primary / non-supplementary / all passing)
+//   - per-contig NM and indel sums + identity sums (primary / nonsupp)
+//   - the filtered coverage-block arrays (tid, start, end), record order
+//   - sortedness, NM-missing and total-primary-alignment bookkeeping
+// A chain thread walks record offsets publishing 32k-record chunks;
+// scan workers chase the chain.  Per-chunk results merge in chunk order
+// so every statistic (including the f64 identity sums) is deterministic
+// run to run.
+
+namespace {
+
+constexpr int64_t kChunkShift = 15;  // 32768 records per chunk
+constexpr int64_t kChunkRecs = 1ll << kChunkShift;
+
+struct StatsRun {
+  int32_t tid;
+  int64_t reads_primary, reads_nonsupp, reads_all;
+  int64_t nm_sum, indel_sum;
+  double ident_primary, ident_nonsupp;
+};
+
+struct ChunkOut {
+  std::vector<StatsRun> runs;
+  std::vector<int32_t> btid, bstart, bend;
+  int64_t n_primary = 0;    // primary alignments among ALL records
+  int64_t nm_missing = 0;   // passing mapped records lacking NM
+  int32_t first_tid = -1, last_tid = -1;  // over passing mapped records
+  bool sorted = true;
+  int64_t err = 0;  // (record index within chunk)+1 on malformed input
+};
+
+struct StatsScanState {
+  std::vector<ChunkOut> chunks;
+  int64_t n_chunks = 0;
+  int64_t n_records = 0, end_off = 0, n_blocks = 0;
+};
+
+// Scan NM from the aux region; returns INT64_MIN on "not found",
+// -(byte offset)-2 on malformed tag type.  Stops as soon as NM is seen.
+inline int64_t scan_nm_only(const uint8_t* rec, int64_t aux, int64_t rec_len) {
+  while (aux + 3 <= rec_len) {
+    uint8_t t0 = rec[aux], t1 = rec[aux + 1], typ = rec[aux + 2];
+    aux += 3;
+    int64_t val = 0;
+    int has_val = 1;
+    switch (typ) {
+      case 'A':
+      case 'C': val = rec[aux]; aux += 1; break;
+      case 'c': val = (int8_t)rec[aux]; aux += 1; break;
+      case 'S': val = rec[aux] | (rec[aux + 1] << 8); aux += 2; break;
+      case 's': val = (int16_t)(rec[aux] | (rec[aux + 1] << 8)); aux += 2; break;
+      case 'I': {
+        uint32_t v; memcpy(&v, rec + aux, 4); val = v; aux += 4; break;
+      }
+      case 'i': {
+        int32_t v; memcpy(&v, rec + aux, 4); val = v; aux += 4; break;
+      }
+      case 'f': aux += 4; has_val = 0; break;
+      case 'Z':
+      case 'H': {
+        while (aux < rec_len && rec[aux] != 0) aux++;
+        aux++;
+        has_val = 0;
+        break;
+      }
+      case 'B': {
+        uint8_t sub = rec[aux];
+        uint32_t cnt; memcpy(&cnt, rec + aux + 1, 4);
+        int esz = (sub == 'c' || sub == 'C') ? 1
+                  : (sub == 's' || sub == 'S') ? 2 : 4;
+        aux += 5 + (int64_t)cnt * esz;
+        has_val = 0;
+        break;
+      }
+      default:
+        return INT64_MIN + 1;  // malformed
+    }
+    if (has_val && t0 == 'N' && t1 == 'M') return val;
+  }
+  return INT64_MIN;  // absent
+}
+
+}  // namespace
+
+extern "C" {
+
+// Run the fused scan over the COMPLETE records in [start, end).
+// Returns an opaque handle (free with ct_stats_free) or null on alloc
+// failure.  scalars[0..8]: n_records, end_off, n_blocks, n_primary,
+// nm_missing, sorted(1 ok), first_tid, last_tid, err(record idx+1).
+void* ct_stats_scan(const uint8_t* data, int64_t end, int64_t start,
+                    int32_t n_ref, int32_t skip_mask, int32_t req_mask,
+                    int32_t n_threads, int64_t* scalars) {
+  auto* st = new StatsScanState();
+  // chunk_off pre-sized from the 36-byte minimum record so the chain
+  // thread never reallocates while workers read published entries
+  int64_t max_chunks = (end - start) / (kChunkRecs * 36) + 2;
+  std::vector<int64_t> chunk_off((size_t)max_chunks, 0);
+  st->chunks.resize((size_t)max_chunks);
+
+  std::atomic<int64_t> published(0);   // chunks whose END is known
+  std::atomic<int64_t> total_chunks(INT64_MAX);  // set when the chain ends
+  std::atomic<int64_t> next_chunk(0);
+  int64_t chain_err = 0;
+
+  auto chain = [&]() {
+    int64_t pos = start, nrec = 0;
+    while (pos + 4 <= end) {
+      uint32_t bs;
+      memcpy(&bs, data + pos, 4);
+      if (bs == 0 || pos + 4 + (int64_t)bs > end) break;
+      if (bs < 33) {  // below the BAM fixed-block minimum: corrupt
+        chain_err = nrec + 1;
+        break;
+      }
+      if ((nrec & (kChunkRecs - 1)) == 0) {
+        int64_t ci = nrec >> kChunkShift;
+        chunk_off[(size_t)ci] = pos;
+        if (ci > 0) published.store(ci, std::memory_order_release);
+      }
+      pos += 4 + (int64_t)bs;
+      __builtin_prefetch(data + pos);
+      nrec++;
+    }
+    st->n_records = nrec;
+    st->end_off = pos;
+    st->n_chunks = (nrec + kChunkRecs - 1) >> kChunkShift;
+    // total_chunks (release) is the signal that n_records/n_chunks are
+    // final; published then opens the last (partial) chunk for scanning
+    total_chunks.store(st->n_chunks, std::memory_order_release);
+    published.store(st->n_chunks, std::memory_order_release);
+  };
+
+  auto scan_chunk = [&](int64_t ci) {
+    ChunkOut& out = st->chunks[(size_t)ci];
+    int64_t pos = chunk_off[(size_t)ci];
+    int64_t count = kChunkRecs;
+    // ci == total-1 is only observable after the chain's release store,
+    // which orders the n_records write before this read
+    if (ci == total_chunks.load(std::memory_order_acquire) - 1)
+      count = st->n_records - (ci << kChunkShift);
+    out.runs.reserve(8);
+    out.btid.reserve((size_t)count + count / 8);
+    out.bstart.reserve((size_t)count + count / 8);
+    out.bend.reserve((size_t)count + count / 8);
+    StatsRun run{};
+    int32_t cur_tid = -2;
+    int32_t prev_tid = -1;
+    auto flush = [&]() {
+      if (cur_tid >= 0) out.runs.push_back(run);
+    };
+    for (int64_t r = 0; r < count; r++) {
+      uint32_t bs;
+      memcpy(&bs, data + pos, 4);
+      const uint8_t* rec = data + pos + 4;
+      int64_t rec_len = bs;
+      pos += 4 + (int64_t)bs;
+
+      int32_t tid, posr;
+      memcpy(&tid, rec, 4);
+      memcpy(&posr, rec + 4, 4);
+      uint8_t l_read_name = rec[8];
+      uint16_t n_cigar, flag;
+      memcpy(&n_cigar, rec + 12, 2);
+      memcpy(&flag, rec + 14, 2);
+
+      bool primary = (flag & 0x900) == 0;
+      out.n_primary += primary;
+      bool mapped = (flag & 0x4) == 0;
+      bool pass = ((flag & skip_mask) == 0) &&
+                  ((flag & req_mask) == req_mask);
+      if (!(pass && mapped)) continue;
+
+      if (tid < 0 || tid >= n_ref) {
+        out.err = r + 1;
+        flush();
+        return;
+      }
+      if (out.first_tid < 0) out.first_tid = tid;
+      if (tid < prev_tid) out.sorted = false;
+      prev_tid = tid;
+      out.last_tid = tid;
+
+      if (tid != cur_tid) {
+        flush();
+        run = StatsRun{};
+        run.tid = tid;
+        cur_tid = tid;
+      }
+      bool nonsupp = (flag & 0x800) == 0;
+      run.reads_all++;
+      run.reads_primary += primary;
+      run.reads_nonsupp += nonsupp;
+
+      // CIGAR walk: coverage blocks + aligned length + indels
+      // (contig.rs:168-202 semantics)
+      const uint8_t* cig = rec + 32 + l_read_name;
+      int64_t cursor = posr, a_cov = 0, ind = 0;
+      for (int64_t k = 0; k < n_cigar; k++) {
+        uint32_t c;
+        memcpy(&c, cig + 4 * k, 4);
+        uint32_t op = c & 0xF;
+        int64_t ln = c >> 4;
+        switch (op) {
+          case 0:
+          case 7:
+          case 8:  // M / = / X
+            out.btid.push_back(tid);
+            out.bstart.push_back((int32_t)cursor);
+            out.bend.push_back((int32_t)(cursor + ln));
+            a_cov += ln;
+            cursor += ln;
+            break;
+          case 1:  // I
+            a_cov += ln;
+            ind += ln;
+            break;
+          case 2:  // D
+            a_cov += ln;
+            ind += ln;
+            cursor += ln;
+            break;
+          case 3:  // N
+            cursor += ln;
+            break;
+          default:  // S/H/P
+            break;
+        }
+      }
+      int32_t l_seq;
+      memcpy(&l_seq, rec + 16, 4);
+      int64_t aux = 32 + l_read_name + 4ll * n_cigar + (l_seq + 1) / 2 + l_seq;
+      int64_t nm = scan_nm_only(rec, aux, rec_len);
+      if (nm == INT64_MIN + 1) {
+        out.err = r + 1;
+        flush();
+        return;
+      }
+      run.indel_sum += ind;
+      if (nm == INT64_MIN) {
+        out.nm_missing++;  // the caller raises before any result is used
+      } else {
+        run.nm_sum += nm;
+        if (a_cov > 0) {
+          double idv = (double)(a_cov - nm) / (double)a_cov;
+          run.ident_primary += primary ? idv : 0.0;
+          run.ident_nonsupp += nonsupp ? idv : 0.0;
+        }
+      }
+    }
+    flush();
+  };
+
+  auto worker = [&]() {
+    while (true) {
+      int64_t ci = next_chunk.fetch_add(1);
+      while (true) {
+        if (ci >= total_chunks.load(std::memory_order_acquire)) return;
+        if (ci < published.load(std::memory_order_acquire)) break;
+        std::this_thread::yield();
+      }
+      scan_chunk(ci);
+    }
+  };
+
+  int nt = n_threads < 1 ? 1 : n_threads;
+  std::vector<std::thread> pool;
+  for (int t = 1; t < nt; t++) pool.emplace_back(worker);
+  chain();   // the calling thread chains, then joins the scan pool
+  worker();
+  for (auto& th : pool) th.join();
+
+  // merge chunk summaries (chunk order -> deterministic)
+  int64_t n_primary = 0, nm_missing = 0, n_blocks = 0, err = 0;
+  int32_t first_tid = -1, last_tid = -1;
+  bool sorted = true;
+  for (int64_t ci = 0; ci < st->n_chunks; ci++) {
+    ChunkOut& c = st->chunks[(size_t)ci];
+    n_primary += c.n_primary;
+    nm_missing += c.nm_missing;
+    n_blocks += (int64_t)c.btid.size();
+    if (c.err && !err) err = (ci << kChunkShift) + c.err;
+    if (!c.sorted) sorted = false;
+    if (c.first_tid >= 0) {
+      if (last_tid >= 0 && c.first_tid < last_tid) sorted = false;
+      if (first_tid < 0) first_tid = c.first_tid;
+      last_tid = c.last_tid;
+    }
+  }
+  if (chain_err && !err) err = chain_err;
+  st->n_blocks = n_blocks;
+  scalars[0] = st->n_records;
+  scalars[1] = st->end_off;
+  scalars[2] = n_blocks;
+  scalars[3] = n_primary;
+  scalars[4] = nm_missing;
+  scalars[5] = sorted ? 1 : 0;
+  scalars[6] = first_tid;
+  scalars[7] = last_tid;
+  scalars[8] = err;
+  return st;
+}
+
+// Accumulate the per-contig statistics (+=) into caller arrays (length
+// n_ref each, caller-initialised) and copy the block arrays out in
+// record order.  Returns 0, or -1 on a tid out of range (cannot happen
+// when ct_stats_scan returned err=0 with the same n_ref).
+int ct_stats_fill(void* handle, int32_t n_ref, int64_t* reads_primary,
+                  int64_t* reads_nonsupp, int64_t* reads_all,
+                  int64_t* nm_sum, int64_t* indel_sum,
+                  double* ident_primary, double* ident_nonsupp,
+                  uint8_t* observed, int32_t* btid, int32_t* bstart,
+                  int32_t* bend) {
+  auto* st = (StatsScanState*)handle;
+  int64_t b = 0;
+  for (int64_t ci = 0; ci < st->n_chunks; ci++) {
+    ChunkOut& c = st->chunks[(size_t)ci];
+    for (const StatsRun& r : c.runs) {
+      if (r.tid < 0 || r.tid >= n_ref) return -1;
+      reads_primary[r.tid] += r.reads_primary;
+      reads_nonsupp[r.tid] += r.reads_nonsupp;
+      reads_all[r.tid] += r.reads_all;
+      nm_sum[r.tid] += r.nm_sum;
+      indel_sum[r.tid] += r.indel_sum;
+      ident_primary[r.tid] += r.ident_primary;
+      ident_nonsupp[r.tid] += r.ident_nonsupp;
+      observed[r.tid] = 1;
+    }
+    size_t nb = c.btid.size();
+    if (nb) {
+      memcpy(btid + b, c.btid.data(), nb * 4);
+      memcpy(bstart + b, c.bstart.data(), nb * 4);
+      memcpy(bend + b, c.bend.data(), nb * 4);
+      b += (int64_t)nb;
+    }
+  }
+  return 0;
+}
+
+void ct_stats_free(void* handle) { delete (StatsScanState*)handle; }
+
+}  // extern "C"

@@ -235,9 +235,18 @@ def scan_sample_batches(header: BamHeader, batches, layout: ReferenceLayout,
 
 def scan_any(header, payload, layout, flag_filter, need_hist, trim=None,
              depth_fn=compute_depth_stats_sweep) -> SampleScan:
-    """Dispatch: RecordBatch -> scan_sample; batch iterator -> streaming."""
+    """Dispatch: RecordBatch -> scan_sample; FusedScanStream -> the
+    native fused engine (io/fastscan.py) when it applies; any other
+    batch iterator -> the classic streaming scan."""
     if isinstance(payload, RecordBatch):
         return scan_sample(header, payload, layout, flag_filter, need_hist,
                            trim=trim, depth_fn=depth_fn)
+    from .io.fastscan import FusedScanStream, fused_available, \
+        scan_sample_fused
+    if isinstance(payload, FusedScanStream):
+        if depth_fn is compute_depth_stats_sweep and fused_available():
+            return scan_sample_fused(header, payload, layout, flag_filter,
+                                     need_hist, trim=trim)
+        payload = payload.batches()
     return scan_sample_batches(header, payload, layout, flag_filter,
                                need_hist, trim=trim, depth_fn=depth_fn)
