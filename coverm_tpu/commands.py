@@ -313,17 +313,24 @@ def run_filter(args):
             from .io import bgzf
             from .io.cram import iter_bam_segments
             tmp = tempfile.NamedTemporaryFile(suffix=".bam", delete=False)
-            with open(in_path, "rb") as f:
-                mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
-                try:
-                    for seg in iter_bam_segments(mm):
-                        for o in range(0, len(seg), 0xFF00):
-                            tmp.write(bgzf.compress_block(
-                                bytes(seg[o:o + 0xFF00]), 1))
-                finally:
-                    mm.close()
-            tmp.write(bgzf.BGZF_EOF)
-            tmp.close()
+            try:
+                with open(in_path, "rb") as f:
+                    mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+                    try:
+                        # require_seq: rewriting records needs real bases;
+                        # fail loudly rather than emit all-'N' sequences
+                        for seg in iter_bam_segments(mm, require_seq=True):
+                            for o in range(0, len(seg), 0xFF00):
+                                tmp.write(bgzf.compress_block(
+                                    bytes(seg[o:o + 0xFF00]), 1))
+                    finally:
+                        mm.close()
+                tmp.write(bgzf.BGZF_EOF)
+                tmp.close()
+            except BaseException:
+                tmp.close()
+                os.unlink(tmp.name)
+                raise
             in_path = tmp.name
         try:
             kept, total = stream_filter_bam(in_path, out_path, fp, ff,

@@ -21,11 +21,17 @@ Implements the CRAM 3.0 specification (hts-specs CRAMv3.pdf):
     downstream-mate (NF) resolution for RNEXT/PNEXT/TLEN/flag bits
 
 Scope notes (documented, not silent):
-  - Sequence bases are reconstructed from read features and embedded
-    reference slices; for reference-based substitutions ('X') without
-    an embedded reference the base decodes as 'N'.  CoverM's coverage /
-    filter semantics never inspect base identity (only CIGAR, flags,
-    MAPQ, NM/AS and sequence *length*), so coverage output is exact.
+  - Sequence bases are reconstructed from read features and, when the
+    slice carries one, the embedded reference block (implicit match
+    runs and 'X' substitutions resolve through the substitution
+    matrix).  Without an embedded reference, reference-coded bases
+    decode as 'N': coverage output is exact regardless (CoverM's
+    coverage/filter semantics never inspect base identity — only CIGAR,
+    flags, MAPQ, NM/AS and sequence *length*), but paths that EMIT
+    records (`coverm filter`) request require_seq=True and fail loudly
+    instead of writing 'N' sequences.
+  - RG:Z tags are reconstructed from the read-group index + @RG header
+    IDs, as htslib does.
   - The write side exists to round-trip the reader in tests (no
     mapper/samtools/pysam exists in this environment to generate CRAM
     fixtures); it emits spec-compliant CRAM 3.0.
@@ -1007,7 +1013,7 @@ _REF_CONSUME = (0, 2, 3, 7, 8)  # M D N = X
 class _CramRecord:
     __slots__ = ("flag", "cf", "tid", "pos", "rl", "rg", "name", "mapq",
                  "mate_tid", "mate_pos", "tlen", "nf", "cigar", "seq",
-                 "qual", "tags", "end")
+                 "qual", "tags", "end", "seq_incomplete")
 
     def __init__(self):
         self.name = None
@@ -1018,11 +1024,32 @@ class _CramRecord:
         self.cigar = []
         self.tags = []
         self.mapq = 0
+        self.seq_incomplete = False
+
+
+_SUB_BASES = b"ACGTN"
+
+
+def _sub_table(sm: bytes) -> dict:
+    """(ref_base, BS code) -> substituted read base, from the 5-byte
+    substitution matrix (CRAM 3.0 spec 10.6: one byte per reference
+    base in ACGTN order, packing 2-bit codes for the other four bases
+    in ACGTN order, highest bits first)."""
+    tab = {}
+    for ri, rb in enumerate(_SUB_BASES):
+        others = [b for b in _SUB_BASES if b != rb]
+        byte = sm[ri] if ri < len(sm) else 0
+        for k, ob in enumerate(others):
+            code = (byte >> (6 - 2 * k)) & 3
+            tab[(rb, code)] = ob
+    return tab
 
 
 def _decode_slice_records(comp: CompressionHeader, sl: SliceHeader,
-                          core: BitReader, ext: dict) -> list:
+                          core: BitReader, ext: dict,
+                          embedded_ref: bytes | None = None) -> list:
     S = comp.series
+    sub = _sub_table(comp.sub_matrix)
 
     def dint(key):
         return S[key].decode_int(core, ext)
@@ -1032,6 +1059,16 @@ def _decode_slice_records(comp: CompressionHeader, sl: SliceHeader,
 
     def dbytes(key):
         return S[key].decode_bytes(core, ext)
+
+    def ref_base(g):
+        """Reference base at 1-based position g from the embedded
+        reference slice (covers [sl.start, sl.start + span))."""
+        if embedded_ref is None:
+            return None
+        idx = g - sl.start
+        if 0 <= idx < len(embedded_ref):
+            return embedded_ref[idx]
+        return None
 
     recs = []
     last_pos = sl.start
@@ -1073,26 +1110,55 @@ def _decode_slice_records(comp: CompressionHeader, sl: SliceHeader,
         if not (r.flag & F_UNMAP):
             fn = dint("FN")
             cig = []
-            read_cur = 0  # 0-based read cursor
-            fpos = 0      # 1-based feature position accumulator
+            read_cur = 0      # 0-based read cursor
+            ref_cur = r.pos   # 1-based reference cursor
+            fpos = 0          # 1-based feature position accumulator
+
+            def fill_match(n):
+                """Implicit match run: bases come from the reference
+                (htslib RR=1 mode).  Without an embedded reference they
+                stay 'N' and the record is flagged incomplete when the
+                container declares reference-required."""
+                nonlocal read_cur, ref_cur
+                if embedded_ref is not None:
+                    for t in range(n):
+                        b = ref_base(ref_cur + t)
+                        if b is not None:
+                            seq[read_cur + t] = b
+                        else:
+                            r.seq_incomplete = True
+                elif comp.ref_required:
+                    r.seq_incomplete = True
+                read_cur += n
+                ref_cur += n
+
             for _ in range(fn):
                 fc = chr(dbyte("FC"))
                 fpos += dint("FP")
                 gap = (fpos - 1) - read_cur
                 if gap > 0:
                     cig.append((0, gap))
-                    read_cur += gap
+                    fill_match(gap)
                 if fc == "B":
                     seq[read_cur] = dbyte("BA")
                     qual[read_cur] = dbyte("QS")
                     cig.append((0, 1))
                     read_cur += 1
+                    ref_cur += 1
                 elif fc == "X":
-                    dint("BS")  # substitution code: base needs a reference
+                    code = dint("BS")
+                    rb = ref_base(ref_cur)
+                    if rb is not None:
+                        seq[read_cur] = sub.get((rb, code), ord("N"))
+                    else:
+                        r.seq_incomplete = True
                     cig.append((0, 1))
                     read_cur += 1
+                    ref_cur += 1
                 elif fc == "D":
-                    cig.append((2, dint("DL")))
+                    dl = dint("DL")
+                    cig.append((2, dl))
+                    ref_cur += dl
                 elif fc == "I":
                     ins = dbytes("IN")
                     seq[read_cur:read_cur + len(ins)] = ins
@@ -1112,7 +1178,9 @@ def _decode_slice_records(comp: CompressionHeader, sl: SliceHeader,
                 elif fc == "P":
                     cig.append((6, dint("PD")))
                 elif fc == "N":
-                    cig.append((3, dint("RS")))
+                    rs = dint("RS")
+                    cig.append((3, rs))
+                    ref_cur += rs
                 elif fc == "Q":
                     qual[read_cur] = dbyte("QS")
                 elif fc == "b":
@@ -1120,6 +1188,7 @@ def _decode_slice_records(comp: CompressionHeader, sl: SliceHeader,
                     seq[read_cur:read_cur + len(bb)] = bb
                     cig.append((0, len(bb)))
                     read_cur += len(bb)
+                    ref_cur += len(bb)
                 elif fc == "q":
                     qq = dbytes("QQ")
                     qual[read_cur:read_cur + len(qq)] = qq
@@ -1128,6 +1197,7 @@ def _decode_slice_records(comp: CompressionHeader, sl: SliceHeader,
             tail = r.rl - read_cur
             if tail > 0:
                 cig.append((0, tail))
+                fill_match(tail)
             # merge adjacent identical ops
             merged = []
             for op, ln in cig:
@@ -1239,7 +1309,12 @@ def iter_cram_containers(raw: bytes):
     batch-by-batch without holding the whole decoded file."""
     try:
         yield from _iter_cram_containers(raw)
-    except (IndexError, struct.error, zlib.error, EOFError) as e:
+    except (IndexError, struct.error, zlib.error, EOFError, KeyError,
+            ValueError, UnicodeDecodeError) as e:
+        # KeyError: a referenced data series / tag codec missing from the
+        # compression header; ValueError: a BYTE_ARRAY_STOP terminator
+        # missing (bytes.index); UnicodeDecodeError: non-UTF8 SAM header —
+        # all must surface through the CLI's fail-fast `Error:` path
         raise CramFormatError(
             f"Truncated or corrupt CRAM file ({e}); if the file is a "
             "newer CRAM minor version re-encode it, e.g.: samtools view "
@@ -1250,8 +1325,13 @@ def _iter_cram_containers(raw: bytes):
     if not is_cram(raw):
         raise CramFormatError("Not a CRAM file (bad magic)")
     major = raw[4]
-    if major not in (2, 3):
-        raise CramFormatError(f"Unsupported CRAM major version {major}")
+    if major != 3:
+        # v2.x has no container CRCs, no per-block CRC tails and ITF-8
+        # record counters — parsing it with the v3 layout would misread
+        # offsets, so refuse instead of decoding garbage
+        raise CramFormatError(
+            f"Unsupported CRAM major version {major}; re-encode as 3.0, "
+            "e.g.: samtools view -C --output-fmt cram,version=3.0 in.cram")
     p = 26
     # SAM header container: first block is FILE_HEADER
     c, p = read_container_header(raw, p)
@@ -1284,15 +1364,21 @@ def _iter_cram_containers(raw: bytes):
             sl = parse_slice_header(sh_block.data)
             core = None
             ext = {}
+            embedded_ref = None
             for _ in range(sl.n_blocks):
                 b, q = read_block(raw, q)
                 if b.content_type == CT_CORE:
                     core = BitReader(b.data)
                 elif b.content_type == CT_EXTERNAL:
+                    if (sl.embedded_ref_id >= 0
+                            and b.content_id == sl.embedded_ref_id):
+                        embedded_ref = b.data
                     ext[b.content_id] = _ExtStream(b.data)
             if core is None:
                 core = BitReader(b"")
-            records.extend(_decode_slice_records(comp, sl, core, ext))
+            records.extend(
+                _decode_slice_records(comp, sl, core, ext,
+                                      embedded_ref=embedded_ref))
         yield None, records
         p = end
 
@@ -1326,26 +1412,50 @@ def bam_header_bytes_from_sam_text(sam_text: str) -> bytes:
     return bytes(out)
 
 
-def iter_bam_segments(raw: bytes):
+def iter_bam_segments(raw: bytes, require_seq: bool = False):
     """Yield uncompressed-BAM byte segments: first the header segment,
     then one segment of record bytes per data container.  Peak decoded
     memory is O(container), the CRAM analogue of BGZF segment
-    streaming."""
+    streaming.
+
+    require_seq=True (the `filter` rewrite path) fails loudly when read
+    bases cannot be reconstructed — i.e. the container stores bases by
+    reference (htslib's default RR=1) and the slice carries no embedded
+    reference.  Coverage paths leave it False: they never inspect base
+    identity, only CIGAR/flags/NM, which decode exactly either way."""
+    rg_ids = []
     for sam_text, records in iter_cram_containers(raw):
         if sam_text is not None:
+            for line in sam_text.splitlines():
+                if line.startswith("@RG"):
+                    for f in line.split("\t")[1:]:
+                        if f.startswith("ID:"):
+                            rg_ids.append(f[3:])
+                            break
             yield bam_header_bytes_from_sam_text(sam_text)
             continue
         chunk = bytearray()
         for r in records:
+            if require_seq and r.seq_incomplete:
+                raise CramFormatError(
+                    "CRAM slice stores read bases against a reference "
+                    "but carries no embedded reference, so sequences "
+                    "cannot be reconstructed for BAM output. Re-encode "
+                    "with the reference available, e.g.: samtools view "
+                    "-b -T ref.fna in.cram > in.bam")
+            if 0 <= r.rg < len(rg_ids) and not any(
+                    t == "RG" for t, _typ, _p in r.tags):
+                # htslib reconstructs RG:Z from the read-group index
+                r.tags.append(("RG", "Z", rg_ids[r.rg].encode() + b"\x00"))
             chunk += _bam_record_bytes(r)
         yield bytes(chunk)
 
 
-def cram_to_bam_data(raw: bytes) -> bytes:
+def cram_to_bam_data(raw: bytes, require_seq: bool = False) -> bytes:
     """Decode a whole CRAM byte string into uncompressed BAM bytes
     (magic + SAM-header text + reference dictionary + records), ready
     for io.bam.parse_bam_data_raw."""
-    return b"".join(iter_bam_segments(raw))
+    return b"".join(iter_bam_segments(raw, require_seq=require_seq))
 
 
 # ---------------------------------------------------------------------------
