@@ -62,8 +62,11 @@ class FusedScanStream:
     contig-disjoint RecordBatches via BamStreamReader, byte-identical
     to the classic path."""
 
-    def __init__(self, path: str, target_bytes: int = 1 << 28):
+    def __init__(self, path: str, target_bytes: int | None = None):
         self.path = path
+        if target_bytes is None:
+            target_bytes = int(os.environ.get("COVERM_TPU_SEGMENT_BYTES",
+                                              1 << 28))
         self.target_bytes = int(target_bytes)
         self.header = None
         self._gen = None

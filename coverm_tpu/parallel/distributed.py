@@ -135,7 +135,8 @@ def compute_depth_stats_sweep_multihost(layout, tids, starts, ends,
     n_shards = mesh.devices.shape[1]
     (seg_sorted, starts_sorted, vals_sorted, offsets, counts_mat, len_mode,
      scalar_len, n_seg, seg_len_dev, n_out, obs, tids_s,
-     per_shard) = _route_sample(layout, tids, starts, ends, n_shards)
+     per_shard, _split) = _route_sample(layout, tids, starts, ends,
+                                        n_shards)
 
     B_local = _bucket_geo(max(int(per_shard.max(initial=1)), 1), minimum=128)
     starts_p, payload_p, counts_ext = _pack_shards(

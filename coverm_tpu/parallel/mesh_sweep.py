@@ -86,18 +86,98 @@ def _mesh_sweep(starts, payload, counts_ext, seg_len, scalar_len,
     return fn(starts, payload, counts_ext, seg_len, scalar_len)
 
 
-def _route_sample(layout, tids, starts, ends, n_shards):
+def split_heavy_contigs(tids, starts, ends, n_shards,
+                        slack: float = 1.25):
+    """Position-split contigs whose block count defeats contig-level
+    balancing (SURVEY §5: the sequence-parallel axis; a single huge
+    contig must shard across devices).
+
+    A heavy contig's blocks are cut at position boundaries chosen from
+    block-start quantiles; blocks crossing a boundary are CLIPPED into
+    two sub-blocks, so every reference position's depth lives on exactly
+    one piece and per-position statistics psum-merge exactly.  Returns
+    (tids, starts, ends, piece_of_block, piece_counts, split_tids) —
+    with split_tids empty, the inputs pass through untouched (and the
+    caller keeps the bit-identical whole-contig route)."""
+    if n_shards <= 1 or tids.size == 0 or np.any(tids[1:] < tids[:-1]):
+        # unsorted synthetic input: let prep_segments' argsort handle it
+        # on the whole-contig route
+        return tids, starts, ends, None, None, np.empty(0, np.int64)
+    counts = np.bincount(tids)
+    total = int(counts.sum())
+    target = -(-total // n_shards)  # ceil
+    heavy = np.flatnonzero(counts > slack * target)
+    if heavy.size == 0:
+        return tids, starts, ends, None, None, np.empty(0, np.int64)
+
+    bounds = np.concatenate(([0], np.cumsum(counts)))
+    out_t, out_s, out_e, out_p = [], [], [], []
+    piece_counts = []
+    next_piece = 0
+    for c in range(counts.shape[0]):
+        lo, hi = int(bounds[c]), int(bounds[c + 1])
+        if hi == lo:
+            continue
+        ct, cs, ce = tids[lo:hi], starts[lo:hi], ends[lo:hi]
+        if c not in heavy:
+            out_t.append(ct)
+            out_s.append(cs)
+            out_e.append(ce)
+            out_p.append(np.full(hi - lo, next_piece, np.int64))
+            piece_counts.append(hi - lo)
+            next_piece += 1
+            continue
+        k = min(int(-(-counts[c] // target)), n_shards)
+        # position boundaries at block-start quantiles (starts are
+        # nondecreasing within a contig: BAM coordinate order)
+        qs = cs[np.linspace(0, hi - lo - 1, k + 1).astype(np.int64)]
+        cuts = np.unique(qs[1:-1])
+        edges = np.concatenate(([np.iinfo(np.int32).min], cuts,
+                                [np.iinfo(np.int32).max]))
+        for m0, m1 in zip(edges[:-1], edges[1:]):
+            sel = (cs < m1) & (ce > m0)
+            if not np.any(sel):
+                continue
+            ps = np.maximum(cs[sel], m0)
+            pe = np.minimum(ce[sel], m1)
+            out_t.append(ct[sel])
+            out_s.append(ps.astype(starts.dtype))
+            out_e.append(pe.astype(ends.dtype))
+            out_p.append(np.full(ps.size, next_piece, np.int64))
+            piece_counts.append(ps.size)
+            next_piece += 1
+    return (np.concatenate(out_t), np.concatenate(out_s),
+            np.concatenate(out_e), np.concatenate(out_p),
+            np.asarray(piece_counts, np.int64), heavy.astype(np.int64))
+
+
+def _route_sample(layout, tids, starts, ends, n_shards,
+                  allow_split: bool = False):
     """Host-side routing of one sample's blocks to contig shards.
 
     Returns (per-shard starts list, per-shard payload list, counts
     [n_shards, n_seg], len_mode, scalar_len, plus the prep_segments
-    outputs needed for unpacking)."""
+    outputs needed for unpacking, and the tids of position-split
+    contigs — empty unless allow_split found an imbalance)."""
+    split_tids = np.empty(0, np.int64)
+    piece_of_block = None
+    if allow_split:
+        (tids, starts, ends, piece_of_block, piece_counts,
+         split_tids) = split_heavy_contigs(tids, starts, ends, n_shards)
     (tids, starts, ends, seg_ids, n_seg, seg_len_dev, n_out, obs,
      counts) = prep_segments(layout, tids, starts, ends)
     len_mode, scalar_len, vals = choose_payload(layout, tids, starts, ends)
 
-    shard_of_contig = assign_contigs(counts, n_shards)
-    shard_of_block = shard_of_contig[seg_ids]
+    if split_tids.size:
+        shard_of_piece = assign_contigs(piece_counts, n_shards)
+        shard_of_block = shard_of_piece[piece_of_block]
+        counts_mat = np.zeros((n_shards, n_seg), np.int64)
+        np.add.at(counts_mat, (shard_of_block, seg_ids), 1)
+    else:
+        shard_of_contig = assign_contigs(counts, n_shards)
+        shard_of_block = shard_of_contig[seg_ids]
+        counts_mat = counts[None, :] * (shard_of_contig[None, :]
+                                        == np.arange(n_shards)[:, None])
     order = np.argsort(shard_of_block, kind="stable")  # keeps tid order
     seg_sorted = seg_ids[order]
     starts_sorted = starts[order].astype(np.int32)
@@ -105,11 +185,9 @@ def _route_sample(layout, tids, starts, ends, n_shards):
     per_shard = np.bincount(shard_of_block, minlength=n_shards)
     offsets = np.concatenate(([0], np.cumsum(per_shard)))
 
-    counts_mat = counts[None, :] * (shard_of_contig[None, :]
-                                    == np.arange(n_shards)[:, None])
     return (seg_sorted, starts_sorted, vals_sorted, offsets, counts_mat,
             len_mode, scalar_len, n_seg, seg_len_dev, n_out, obs, tids,
-            per_shard)
+            per_shard, split_tids)
 
 
 def _pack_shards(starts_sorted, vals_sorted, offsets, counts_mat, B_local,
@@ -132,11 +210,73 @@ def _pack_shards(starts_sorted, vals_sorted, offsets, counts_mat, B_local,
     return starts_p, payload_p, counts_ext
 
 
+def _fix_split_contigs(d, split_tids, layout, trim, want_hist):
+    """Exact min/trimmed for position-split contigs from the merged
+    histogram.
+
+    Under a position split, each shard's window includes the other
+    shards' positions at depth 0, so the device rank/min outputs for a
+    split contig are meaningless; but the psum-merged histogram is
+    EXACT after the host bin-0 fix (foreign positions only ever land in
+    a shard's bin 0, which unpack_packed recomputes from the merged
+    covered counts).  Min is the first occupied bin; trimmed sums walk
+    the histogram exactly like estimators.rs:566-647."""
+    ee = layout.contig_end_exclusion
+    rows = []
+    for c in split_tids.tolist():
+        wide = (d.hist_wide or {}).get(c)
+        row = np.asarray(wide if wide is not None
+                         else d.hist[c], dtype=np.int64)
+        rows.append(row)
+        win = max(int(layout.lengths[c]) - 2 * ee, 0) \
+            if layout.lengths[c] > 2 * ee else 0
+        nz = np.flatnonzero(row[1:])
+        if win == 0 or row[0] > 0:
+            d.min_depth_window[c] = 0
+        else:
+            d.min_depth_window[c] = int(nz[0]) + 1 if nz.size else 0
+        # psum of piece maxima over-counts; the last occupied bin is
+        # the true window maximum
+        d.max_depth_window[c] = int(nz[-1]) + 1 if nz.size else 0
+    if trim is not None and rows:
+        from ..ops.sweep import trimmed_sum_via_hist
+        W = max(len(r) for r in rows)
+        mat = np.zeros((len(rows), W), np.int64)
+        for j, r in enumerate(rows):
+            mat[j, : len(r)] = r
+        sub = ReferenceLayout.build(layout.lengths[split_tids],
+                                    layout.contig_end_exclusion)
+        d.trimmed_sum[split_tids] = trimmed_sum_via_hist(sub, mat, trim)
+    if not want_hist:
+        d.hist = None
+        d.hist_wide = None
+    return d
+
+
+class _SplitFixPending:
+    """Wraps the mesh PendingDepthStats to post-fix split contigs."""
+
+    def __init__(self, pending, split_tids, layout, trim, want_hist):
+        self._p = pending
+        self._args = (split_tids, layout, trim, want_hist)
+
+    def start_fetch(self):
+        self._p.start_fetch()
+
+    def result(self):
+        return _fix_split_contigs(self._p.result(), *self._args)
+
+
 def compute_depth_stats_sweep_mesh(layout: ReferenceLayout, tids, starts,
                                    ends, need_hist: bool = False, trim=None,
                                    mesh: Mesh | None = None,
-                                   need_max: bool = True, deferred=False):
-    """Drop-in for compute_depth_stats_sweep over a (dp=1, shard) mesh."""
+                                   need_max: bool = True, deferred=False,
+                                   allow_split: bool = True):
+    """Drop-in for compute_depth_stats_sweep over a (dp=1, shard) mesh.
+
+    allow_split: position-split contigs whose block count defeats
+    contig-level balance (the sequence-parallel axis); the dispatch then
+    carries a histogram so split contigs' min/trimmed stay exact."""
     if mesh is None:
         mesh = make_shard_mesh()
     C = layout.n_contigs
@@ -149,7 +289,12 @@ def compute_depth_stats_sweep_mesh(layout: ReferenceLayout, tids, starts,
     n_shards = mesh.devices.shape[1]
     (seg_sorted, starts_sorted, vals_sorted, offsets, counts_mat, len_mode,
      scalar_len, n_seg, seg_len_dev, n_out, obs, tids_s,
-     per_shard) = _route_sample(layout, tids, starts, ends, n_shards)
+     per_shard, split_tids) = _route_sample(layout, tids, starts, ends,
+                                            n_shards,
+                                            allow_split=allow_split)
+    want_hist = need_hist
+    if split_tids.size:
+        need_hist = True  # exact min/trimmed for split contigs ride it
 
     B_local = _bucket_geo(max(int(per_shard.max(initial=1)), 1), minimum=128)
     starts_p, payload_p, counts_ext = _pack_shards(
@@ -177,6 +322,9 @@ def compute_depth_stats_sweep_mesh(layout: ReferenceLayout, tids, starts,
     pending = PendingDepthStats(dispatch(n_bins), dispatch, layout, n_seg,
                                 n_out, obs, tids_s, need_hist, trim, n_bins,
                                 blocks=(tids, starts, ends))
+    if split_tids.size:
+        pending = _SplitFixPending(pending, split_tids, layout, trim,
+                                   want_hist)
     return pending if deferred else pending.result()
 
 
