@@ -201,3 +201,86 @@ def test_demo_shape_matches_oracle(demo_run):
         assert got[g][1] == pytest.approx(means[g], abs=1e-3), g
         assert got[g][2] == pytest.approx(covfrac[g], abs=1e-3), g
     assert got["unmapped"][0] == pytest.approx(rel["unmapped"], abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# The REAL demo reads (VERDICT r3 #5): /root/reference/demo/sample_1.*.fq.gz
+# ARE in the image even though genomes 1/3/6/8 are not.  Push the actual
+# demo read pair through the whole reads->mapper->TSV pipeline against
+# the four present genomes and oracle-check the cached BAM.  Full
+# 8-genome TSV equality stays env-gated in scripts/demo_parity.py.
+
+@pytest.fixture(scope="module")
+def demo_real_run(tmp_path_factory):
+    if not all(os.path.exists(f"{DEMO}/{g}.fna") for g in GENOMES):
+        pytest.skip("reference demo genomes unavailable")
+    if not os.path.exists(f"{DEMO}/sample_1.1.fq.gz"):
+        pytest.skip("demo read files unavailable")
+    tmp = tmp_path_factory.mktemp("demo_real")
+
+    bindir = tmp / "bin"
+    bindir.mkdir()
+    with open(os.path.join(REPO, "tests", "fake_mapper.py")) as f:
+        body = f.read()
+    exe = bindir / "strobealign"
+    exe.write_text(f"#!{sys.executable}\n" + body.split("\n", 1)[1])
+    exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+
+    # the fake mapper reads plain fastq; decompress the first 800 real
+    # demo read pairs (enough for ~70 forward-exact mappings against
+    # the 4 present genomes while keeping the substring search fast)
+    n_pairs = 800
+    pairs = []
+    for end in (1, 2):
+        src = f"{DEMO}/sample_1.{end}.fq.gz"
+        dst = tmp / f"r{end}.fq"
+        with gzip.open(src, "rt") as fi, open(dst, "w") as fo:
+            for _ in range(n_pairs):
+                for _ in range(4):
+                    line = fi.readline()
+                    assert line
+                    fo.write(line)
+        pairs.append(str(dst))
+
+    cache = tmp / "cache"
+    out = tmp / "out.tsv"
+    import subprocess
+    env = dict(os.environ)
+    env["PATH"] = f"{bindir}:{env['PATH']}"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["COVERM_TPU_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    proc = subprocess.run(
+        [sys.executable, "-m", "coverm_tpu", "genome",
+         "-1", pairs[0], "-2", pairs[1],
+         "-f"] + [f"{DEMO}/{g}.fna" for g in GENOMES] +
+        ["-m", "relative_abundance", "mean", "covered_fraction",
+         "--min-covered-fraction", "0",
+         "--bam-file-cache-directory", str(cache),
+         "-o", str(out)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr
+    bams = os.listdir(cache)
+    assert len(bams) == 1
+    return str(out), os.path.join(str(cache), bams[0])
+
+
+def test_demo_real_reads_match_oracle(demo_real_run):
+    """The true demo read set exercises reads->TSV end to end; every
+    printed number must match the stdlib oracle on the cached BAM."""
+    out_path, bam_path = demo_real_run
+    rel, means, covfrac, n_mapped, n_total = oracle_from_bam(bam_path)
+    assert n_total == 1600          # every demo read accounted for
+    assert n_mapped >= 20           # real reads, forward-exact stand-in
+
+    rows = open(out_path).read().strip().split("\n")
+    got = {}
+    for r in rows[1:]:
+        c = r.split("\t")
+        got[c[0]] = [float("nan") if x == "NA" else float(x) for x in c[1:]]
+    assert set(got) == set(GENOMES) | {"unmapped"}
+    for g in GENOMES:
+        assert got[g][0] == pytest.approx(rel[g], abs=1e-3), g
+        assert got[g][1] == pytest.approx(means[g], abs=1e-3), g
+        assert got[g][2] == pytest.approx(covfrac[g], abs=1e-3), g
+    assert got["unmapped"][0] == pytest.approx(rel["unmapped"], abs=1e-3)
