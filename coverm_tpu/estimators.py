@@ -220,7 +220,12 @@ class TrimmedMeanEstimator(Estimator):
                     num_wanted = num_accounted_for - min_index + 1
                     total = num_wanted * i
                     started = True
-        return f32(total) / f32(max_index - min_index)
+        # max_index == min_index divides by zero — exact reference
+        # parity (estimators.rs:643 performs the same f32 division and
+        # propagates inf/nan); suppress the RuntimeWarning so parity
+        # does not look like a fault in every affected run
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return f32(total) / f32(max_index - min_index)
 
     def trim_bounds(self, total_bases: np.ndarray):
         """(lo, hi) trim indices per entity — f32 arithmetic as the

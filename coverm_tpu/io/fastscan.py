@@ -83,10 +83,15 @@ class FusedScanStream:
 
     # ---- fused path ----
     def open(self):
-        """Parse the header from the leading segment(s); stash the
-        remainder of the first buffer for raw_buffers()."""
+        """Parse the header; on the native-BGZF path only the leading
+        blocks inflate (geometrically grown until the header fits) and
+        the remainder is planned as raw block-table groups for the
+        one-call fused ingest (ct_ingest_scan)."""
         import struct
 
+        self._plan = None
+        if self._open_bgzf_plan():
+            return self.header
         self._gen = self._segments_raw()
         acc = None
         for out, lo, hi in self._gen:
@@ -105,13 +110,45 @@ class FusedScanStream:
         self._first = (acc, start, len(acc))
         return self.header
 
+    def _open_bgzf_plan(self) -> bool:
+        import struct
+
+        lib = native.get_lib()
+        if lib is None or not hasattr(lib, "ct_ingest_scan"):
+            return False
+        with open(self.path, "rb") as f:
+            if f.read(2) != b"\x1f\x8b":
+                return False
+        mm = np.memmap(self.path, np.uint8, mode="r")
+        tables = native.bgzf_scan(mm)
+        if tables is None:
+            return False
+        off, csz, usz = tables
+        n = off.size
+        j = min(8, n)
+        while True:
+            buf = native.bgzf_inflate_blocks(mm, off[:j], csz[:j], usz[:j])
+            if buf is None:
+                raise BamFormatError(f"BGZF inflate failed in {self.path}")
+            try:
+                self.header, hdr_end = _parse_header(buf)
+                break
+            except (struct.error, IndexError, UnicodeDecodeError,
+                    TruncatedHeaderError):
+                if j >= n:
+                    _parse_header(buf)  # re-raise the real error
+                    raise
+                j = min(j * 4, n)
+        self._plan = (mm, off, csz, usz, buf[hdr_end:], j)
+        return True
+
     def raw_buffers(self):
         """(buffer, data_lo, data_hi) triples; records start at data_lo
-        of the first yield (the header is already consumed).  Buffers
-        from the native inflate path have _HEADROOM writable bytes
-        before data_lo for the straddling-record carry."""
+        of the first yield (the header is already consumed).  Only used
+        when no ingest plan exists (CRAM / no-native fallback)."""
         if self.header is None:
             self.open()
+        assert self._plan is None
         yield self._first
         yield from self._gen
 
@@ -187,7 +224,7 @@ def scan_sample_fused(header, stream: FusedScanStream, layout, flag_filter,
     carry = []       # [(btid, bstart, bend)] chunks of the open contig
     carry_tid = -1
 
-    def dispatch(chunks):
+    def dispatch(chunks, counts=None):
         if not chunks:
             return
         if len(chunks) == 1:
@@ -200,28 +237,70 @@ def scan_sample_fused(header, stream: FusedScanStream, layout, flag_filter,
             return
         pendings.append(compute_depth_stats_sweep(
             layout, bt, bs, be, need_hist=need_hist, trim=trim,
-            need_max=False, deferred=True, acc=dep_acc))
+            need_max=False, deferred=True, acc=dep_acc,
+            contig_counts=counts))
 
-    leftover = None
-    for out, lo, hi in prefetch_iter(stream.raw_buffers()):
-        if leftover is not None and leftover.size:
-            n = leftover.size
-            if n <= lo and out.flags.writeable:
-                out[lo - n:lo] = leftover
-                lo -= n
-            else:
-                out = np.concatenate([leftover, out[lo:hi]])
-                lo, hi = 0, out.size
-        res = None
-        try:
+    def seg_blocks():
+        """Yield (btid, bstart, bend) per segment, updating `stats`."""
+        if getattr(stream, "_plan", None) is not None:
+            # one-call fused ingest per raw block-table group: inflate,
+            # chain and scan overlap inside the native call; the carry
+            # (incomplete tail record) threads through natively
+            mm, off, csz, usz, carry, j = stream._plan
+            cum = np.cumsum(usz)
+            n = off.size
+            i = n if j >= n else j
+            while i < n:
+                base = int(cum[i - 1]) if i else 0
+                k = int(np.searchsorted(cum, base + stream.target_bytes)) + 1
+                k = min(max(k, i + 1), n)
+                res = native.ingest_scan(mm, off[i:k], csz[i:k], usz[i:k],
+                                         carry, 0, stats, skip_mask,
+                                         req_mask)
+                if res is None:
+                    raise RuntimeError("native fused ingest unavailable")
+                bt, bs, be, seg_counts, carry = res
+                yield bt, bs, be, seg_counts
+                i = k
+            if carry is not None and len(carry):
+                # trailing bytes (or a header-probe remainder when the
+                # whole file fit in the probe): scan them directly
+                res = native.stats_scan(np.ascontiguousarray(carry), 0,
+                                        stats, skip_mask, req_mask)
+                if res is not None and res[0].size:
+                    yield res[0], res[1], res[2], res[3]
+            return
+        leftover = None
+        for out, lo, hi in prefetch_iter(stream.raw_buffers()):
+            if leftover is not None and leftover.size:
+                n = leftover.size
+                if n <= lo and out.flags.writeable:
+                    out[lo - n:lo] = leftover
+                    lo -= n
+                else:
+                    out = np.concatenate([leftover, out[lo:hi]])
+                    lo, hi = 0, out.size
             res = native.stats_scan(out, lo, stats, skip_mask, req_mask,
                                     end=hi)
-        except ValueError as e:
+            if res is None:
+                raise RuntimeError("native fused scan unavailable")
+            bt, bs, be, seg_counts, end_off = res
+            leftover = out[end_off:hi]
+            yield bt, bs, be, seg_counts
+
+    def iter_segments():
+        gen = seg_blocks()
+        if getattr(stream, "_plan", None) is not None:
+            # overlap the next native ingest with this segment's
+            # dispatch prep (bincount/delta-encode/pack + h2d)
+            gen = prefetch_iter(gen)
+        try:
+            yield from gen
+        except ValueError as e:  # malformed records from the native scan
             raise BamFormatError(str(e))
-        if res is None:
-            raise RuntimeError("native fused scan unavailable mid-stream")
-        bt, bs, be, end_off = res
-        leftover = out[end_off:hi]
+
+    carry_counts = None
+    for bt, bs, be, seg_counts in iter_segments():
         if not stats.sorted:
             raise BamSortingError(
                 "BAM file appears to be unsorted. Input BAM files must be "
@@ -235,20 +314,30 @@ def scan_sample_fused(header, stream: FusedScanStream, layout, flag_filter,
             continue
         first, last = int(bt[0]), int(bt[-1])
         if carry_tid >= 0 and first != carry_tid:
-            dispatch(carry)           # the carried contig closed at EOS
-            carry = []
+            dispatch(carry, carry_counts)  # carried contig closed at EOS
+            carry, carry_counts = [], None
         split = int(np.searchsorted(bt, last))
         if split > 0:
             carry.append((bt[:split], bs[:split], be[:split]))
-            dispatch(carry)
+            closed_counts = seg_counts.copy()
+            closed_counts[last] = 0
+            if carry_counts is not None:
+                closed_counts += carry_counts
+            dispatch(carry, closed_counts)
             carry = []
             # copy the open tail so the closed part's memory frees
             carry.append((bt[split:].copy(), bs[split:].copy(),
                           be[split:].copy()))
+            carry_counts = np.zeros_like(seg_counts)
+            carry_counts[last] = seg_counts[last]
         else:
             carry.append((bt, bs, be))
+            if carry_counts is None:
+                carry_counts = seg_counts.copy()
+            else:
+                carry_counts += seg_counts
         carry_tid = last
-    dispatch(carry)
+    dispatch(carry, carry_counts)
 
     dep_acc.start_fetch()
     for p in pendings:

@@ -89,9 +89,17 @@ def get_lib():
             lib.ct_stats_fill.restype = ctypes.c_int
             lib.ct_stats_fill.argtypes = [
                 ctypes.c_void_p, ctypes.c_int32, c_i64p, c_i64p, c_i64p,
-                c_i64p, c_i64p, c_f64p, c_f64p, c_u8p, c_i32p, c_i32p, c_i32p]
+                c_i64p, c_i64p, c_f64p, c_f64p, c_u8p, c_i32p, c_i32p,
+                c_i32p, c_i64p]
             lib.ct_stats_free.restype = None
             lib.ct_stats_free.argtypes = [ctypes.c_void_p]
+            lib.ct_ingest_scan.restype = ctypes.c_void_p
+            lib.ct_ingest_scan.argtypes = [
+                c_u8p, c_i64, c_i64p, c_i64p, c_i64p, c_u8p, c_i64, c_i64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, c_i64p]
+            lib.ct_stats_leftover.restype = None
+            lib.ct_stats_leftover.argtypes = [ctypes.c_void_p, c_u8p]
         except AttributeError:
             pass
         _lib = lib
@@ -351,6 +359,82 @@ class StatsAccum:
         self.sorted = True
 
 
+def _finish_stats_handle(lib, h, scalars, acc: StatsAccum,
+                         leftover_from_buf: bool):
+    """Shared epilogue for stats_scan / ingest_scan: error checks, block
+    extraction, per-contig accumulation, cross-segment sortedness."""
+    try:
+        if scalars[9]:
+            raise ValueError("BGZF inflate failed inside the fused ingest")
+        if scalars[8]:
+            raise ValueError(
+                f"Malformed BAM record {int(scalars[8]) - 1} "
+                "(unknown aux tag type or truncated record)")
+        n_blocks = int(scalars[2])
+        btid = np.empty(n_blocks, np.int32)
+        bstart = np.empty(n_blocks, np.int32)
+        bend = np.empty(n_blocks, np.int32)
+        c_i32p = ctypes.POINTER(ctypes.c_int32)
+        c_f64p = ctypes.POINTER(ctypes.c_double)
+        seg_counts = np.zeros(acc.n_ref, np.int64)
+        rc = lib.ct_stats_fill(
+            h, acc.n_ref, _i64p(acc.reads_primary), _i64p(acc.reads_nonsupp),
+            _i64p(acc.reads_all), _i64p(acc.nm_sum), _i64p(acc.indel_sum),
+            acc.ident_primary.ctypes.data_as(c_f64p),
+            acc.ident_nonsupp.ctypes.data_as(c_f64p), _u8p(acc.observed),
+            btid.ctypes.data_as(c_i32p), bstart.ctypes.data_as(c_i32p),
+            bend.ctypes.data_as(c_i32p), _i64p(seg_counts))
+        if rc != 0:
+            raise ValueError("BAM record references an out-of-range tid")
+        leftover = None
+        if leftover_from_buf:
+            leftover = np.empty(max(int(scalars[10]), 0), np.uint8)
+            if leftover.size:
+                lib.ct_stats_leftover(h, _u8p(leftover))
+    finally:
+        lib.ct_stats_free(h)
+    acc.n_primary += int(scalars[3])
+    acc.nm_missing += int(scalars[4])
+    acc.n_records += int(scalars[0])
+    first_tid, last_tid = int(scalars[6]), int(scalars[7])
+    if not scalars[5]:
+        acc.sorted = False
+    if first_tid >= 0:
+        if acc.last_tid >= 0 and first_tid < acc.last_tid:
+            acc.sorted = False
+        acc.last_tid = last_tid
+    return btid, bstart, bend, seg_counts, leftover
+
+
+def ingest_scan(comp: np.ndarray, off, csz, usz, carry, start: int,
+                acc: StatsAccum, skip_mask: int, req_mask: int,
+                n_threads: int = 0):
+    """Fully fused segment ingest: threaded BGZF inflate + frontier-
+    chasing chain walk + stats/block scan in one native call.
+
+    Returns (btid, bstart, bend, leftover_bytes) or None when the entry
+    points are unavailable; raises ValueError on malformed input."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ct_ingest_scan"):
+        return None
+    carry = _as_u8(carry if carry is not None else b"")
+    off = np.ascontiguousarray(off)
+    csz = np.ascontiguousarray(csz)
+    usz = np.ascontiguousarray(usz)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 8)
+    scalars = np.zeros(11, np.int64)
+    h = lib.ct_ingest_scan(_u8p(comp), off.size, _i64p(off), _i64p(csz),
+                           _i64p(usz), _u8p(carry), carry.size, start,
+                           acc.n_ref, skip_mask, req_mask, n_threads,
+                           _i64p(scalars))
+    if not h:
+        return None
+    total = carry.size + int(usz.sum())
+    scalars[10] = total - int(scalars[1])  # leftover length
+    return _finish_stats_handle(lib, h, scalars, acc, leftover_from_buf=True)
+
+
 def stats_scan(data, start: int, acc: StatsAccum, skip_mask: int,
                req_mask: int, end: int | None = None,
                n_threads: int = 0):
@@ -368,44 +452,14 @@ def stats_scan(data, start: int, acc: StatsAccum, skip_mask: int,
     end = arr.size if end is None else end
     if n_threads <= 0:
         n_threads = min(os.cpu_count() or 1, 8)
-    scalars = np.zeros(9, np.int64)
+    scalars = np.zeros(11, np.int64)
     h = lib.ct_stats_scan(_u8p(arr), end, start, acc.n_ref, skip_mask,
                           req_mask, n_threads, _i64p(scalars))
     if not h:
         return None
-    try:
-        if scalars[8]:
-            raise ValueError(
-                f"Malformed BAM record {int(scalars[8]) - 1} "
-                "(unknown aux tag type or truncated record)")
-        n_blocks = int(scalars[2])
-        btid = np.empty(n_blocks, np.int32)
-        bstart = np.empty(n_blocks, np.int32)
-        bend = np.empty(n_blocks, np.int32)
-        c_i32p = ctypes.POINTER(ctypes.c_int32)
-        c_f64p = ctypes.POINTER(ctypes.c_double)
-        rc = lib.ct_stats_fill(
-            h, acc.n_ref, _i64p(acc.reads_primary), _i64p(acc.reads_nonsupp),
-            _i64p(acc.reads_all), _i64p(acc.nm_sum), _i64p(acc.indel_sum),
-            acc.ident_primary.ctypes.data_as(c_f64p),
-            acc.ident_nonsupp.ctypes.data_as(c_f64p), _u8p(acc.observed),
-            btid.ctypes.data_as(c_i32p), bstart.ctypes.data_as(c_i32p),
-            bend.ctypes.data_as(c_i32p))
-        if rc != 0:
-            raise ValueError("BAM record references an out-of-range tid")
-    finally:
-        lib.ct_stats_free(h)
-    acc.n_primary += int(scalars[3])
-    acc.nm_missing += int(scalars[4])
-    acc.n_records += int(scalars[0])
-    first_tid, last_tid = int(scalars[6]), int(scalars[7])
-    if not scalars[5]:
-        acc.sorted = False
-    if first_tid >= 0:
-        if acc.last_tid >= 0 and first_tid < acc.last_tid:
-            acc.sorted = False
-        acc.last_tid = last_tid
-    return btid, bstart, bend, int(scalars[1])
+    btid, bstart, bend, seg_counts, _ = _finish_stats_handle(
+        lib, h, scalars, acc, leftover_from_buf=False)
+    return btid, bstart, bend, seg_counts, int(scalars[1])
 
 
 def rans_decode(blob) -> bytes | None:

@@ -14,7 +14,9 @@
 
 #include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <thread>
 #include <vector>
 
@@ -652,7 +654,7 @@ constexpr int64_t kChunkRecs = 1ll << kChunkShift;
 struct StatsRun {
   int32_t tid;
   int64_t reads_primary, reads_nonsupp, reads_all;
-  int64_t nm_sum, indel_sum;
+  int64_t nm_sum, indel_sum, block_count;
   double ident_primary, ident_nonsupp;
 };
 
@@ -670,6 +672,8 @@ struct StatsScanState {
   std::vector<ChunkOut> chunks;
   int64_t n_chunks = 0;
   int64_t n_records = 0, end_off = 0, n_blocks = 0;
+  uint8_t* buf = nullptr;   // ingest path: owned decode buffer
+  int64_t buf_len = 0;
 };
 
 // Scan NM from the aux region; returns INT64_MIN on "not found",
@@ -719,18 +723,211 @@ inline int64_t scan_nm_only(const uint8_t* rec, int64_t aux, int64_t rec_len) {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Run the fused scan over the COMPLETE records in [start, end).
-// Returns an opaque handle (free with ct_stats_free) or null on alloc
-// failure.  scalars[0..8]: n_records, end_off, n_blocks, n_primary,
-// nm_missing, sorted(1 ok), first_tid, last_tid, err(record idx+1).
-void* ct_stats_scan(const uint8_t* data, int64_t end, int64_t start,
-                    int32_t n_ref, int32_t skip_mask, int32_t req_mask,
-                    int32_t n_threads, int64_t* scalars) {
-  auto* st = new StatsScanState();
-  // chunk_off pre-sized from the 36-byte minimum record so the chain
-  // thread never reallocates while workers read published entries
+// One chunk's per-record scan: stats + filtered blocks (shared by the
+// pre-decoded and inflate-fused entry points).
+void scan_chunk_records(const uint8_t* data, int64_t pos, int64_t count,
+                        int32_t n_ref, int32_t skip_mask, int32_t req_mask,
+                        ChunkOut& out) {
+  out.runs.reserve(8);
+  out.btid.reserve((size_t)count + count / 8);
+  out.bstart.reserve((size_t)count + count / 8);
+  out.bend.reserve((size_t)count + count / 8);
+  StatsRun run{};
+  int32_t cur_tid = -2;
+  int32_t prev_tid = -1;
+  auto flush = [&]() {
+    if (cur_tid >= 0) out.runs.push_back(run);
+  };
+  for (int64_t r = 0; r < count; r++) {
+    uint32_t bs;
+    memcpy(&bs, data + pos, 4);
+    const uint8_t* rec = data + pos + 4;
+    int64_t rec_len = bs;
+    pos += 4 + (int64_t)bs;
+
+    int32_t tid, posr;
+    memcpy(&tid, rec, 4);
+    memcpy(&posr, rec + 4, 4);
+    uint8_t l_read_name = rec[8];
+    uint16_t n_cigar, flag;
+    memcpy(&n_cigar, rec + 12, 2);
+    memcpy(&flag, rec + 14, 2);
+
+    bool primary = (flag & 0x900) == 0;
+    out.n_primary += primary;
+    bool mapped = (flag & 0x4) == 0;
+    bool pass = ((flag & skip_mask) == 0) &&
+                ((flag & req_mask) == req_mask);
+    if (!(pass && mapped)) continue;
+
+    if (tid < 0 || tid >= n_ref) {
+      out.err = r + 1;
+      flush();
+      return;
+    }
+    if (out.first_tid < 0) out.first_tid = tid;
+    if (tid < prev_tid) out.sorted = false;
+    prev_tid = tid;
+    out.last_tid = tid;
+
+    if (tid != cur_tid) {
+      flush();
+      run = StatsRun{};
+      run.tid = tid;
+      cur_tid = tid;
+    }
+    bool nonsupp = (flag & 0x800) == 0;
+    run.reads_all++;
+    run.reads_primary += primary;
+    run.reads_nonsupp += nonsupp;
+
+    // CIGAR walk: coverage blocks + aligned length + indels
+    // (contig.rs:168-202 semantics)
+    const uint8_t* cig = rec + 32 + l_read_name;
+    int64_t cursor = posr, a_cov = 0, ind = 0;
+    for (int64_t k = 0; k < n_cigar; k++) {
+      uint32_t c;
+      memcpy(&c, cig + 4 * k, 4);
+      uint32_t op = c & 0xF;
+      int64_t ln = c >> 4;
+      switch (op) {
+        case 0:
+        case 7:
+        case 8:  // M / = / X
+          out.btid.push_back(tid);
+          out.bstart.push_back((int32_t)cursor);
+          out.bend.push_back((int32_t)(cursor + ln));
+          run.block_count++;
+          a_cov += ln;
+          cursor += ln;
+          break;
+        case 1:  // I
+          a_cov += ln;
+          ind += ln;
+          break;
+        case 2:  // D
+          a_cov += ln;
+          ind += ln;
+          cursor += ln;
+          break;
+        case 3:  // N
+          cursor += ln;
+          break;
+        default:  // S/H/P
+          break;
+      }
+    }
+    int32_t l_seq;
+    memcpy(&l_seq, rec + 16, 4);
+    int64_t aux = 32 + l_read_name + 4ll * n_cigar + (l_seq + 1) / 2 + l_seq;
+    int64_t nm = scan_nm_only(rec, aux, rec_len);
+    if (nm == INT64_MIN + 1) {
+      out.err = r + 1;
+      flush();
+      return;
+    }
+    run.indel_sum += ind;
+    if (nm == INT64_MIN) {
+      out.nm_missing++;  // the caller raises before any result is used
+    } else {
+      run.nm_sum += nm;
+      if (a_cov > 0) {
+        double idv = (double)(a_cov - nm) / (double)a_cov;
+        run.ident_primary += primary ? idv : 0.0;
+        run.ident_nonsupp += nonsupp ? idv : 0.0;
+      }
+    }
+  }
+  flush();
+}
+
+// Optional inflate stage for the fused pipeline: workers drain BGZF
+// blocks first; the chain walker chases the contiguous inflated prefix.
+struct InflateWork {
+  const uint8_t* comp = nullptr;
+  int64_t n_blocks = 0;
+  const int64_t* b_off = nullptr;
+  const int64_t* b_csz = nullptr;
+  std::vector<int64_t> cum_out;  // [n_blocks+1] output offsets (after base)
+  uint8_t* dest = nullptr;       // buffer base (carry occupies [0, base))
+  int64_t base = 0;
+  int64_t n_ichunks = 0;
+  std::unique_ptr<std::atomic<uint8_t>[]> done;
+  std::atomic<int64_t> next{0};
+  std::atomic<int> err{0};
+  static const int64_t BCHUNK = 16;
+};
+
+void inflate_drain(InflateWork* inf) {
+#ifdef HAVE_LIBDEFLATE
+  libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
+  if (!dec) {
+    inf->err.store(1);
+    return;
+  }
+#endif
+  while (true) {
+    int64_t ic = inf->next.fetch_add(1);
+    if (ic >= inf->n_ichunks || inf->err.load()) break;
+    int64_t lo = ic * InflateWork::BCHUNK;
+    int64_t hi = lo + InflateWork::BCHUNK < inf->n_blocks
+                     ? lo + InflateWork::BCHUNK
+                     : inf->n_blocks;
+    for (int64_t i = lo; i < hi; i++) {
+      uint16_t xlen = (uint16_t)(inf->comp[inf->b_off[i] + 10] |
+                                 (inf->comp[inf->b_off[i] + 11] << 8));
+      int64_t payload_off = inf->b_off[i] + 12 + xlen;
+      int64_t payload_len = inf->b_csz[i] - 12 - xlen - 8;
+      int64_t usz = inf->cum_out[i + 1] - inf->cum_out[i];
+      uint8_t* dst = inf->dest + inf->base + inf->cum_out[i];
+#ifdef HAVE_LIBDEFLATE
+      size_t actual = 0;
+      libdeflate_result r = libdeflate_deflate_decompress(
+          dec, inf->comp + payload_off, (size_t)payload_len, dst,
+          (size_t)usz, &actual);
+      if ((r != LIBDEFLATE_SUCCESS || actual != (size_t)usz) &&
+          !(usz == 0 && r == LIBDEFLATE_SUCCESS)) {
+        inf->err.store(2);
+        break;
+      }
+#else
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      if (inflateInit2(&zs, -15) != Z_OK) {
+        inf->err.store(1);
+        break;
+      }
+      zs.next_in = const_cast<uint8_t*>(inf->comp + payload_off);
+      zs.avail_in = (uInt)payload_len;
+      zs.next_out = dst;
+      zs.avail_out = (uInt)usz;
+      int r = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (r != Z_STREAM_END && !(r == Z_OK && zs.avail_out == 0) &&
+          !(r == Z_BUF_ERROR && usz == 0)) {
+        inf->err.store(2);
+        break;
+      }
+#endif
+    }
+    inf->done[(size_t)ic].store(1, std::memory_order_release);
+  }
+#ifdef HAVE_LIBDEFLATE
+  libdeflate_free_decompressor(dec);
+#endif
+}
+
+// The shared fused pipeline.  With inf == nullptr the buffer is fully
+// decoded up front (ct_stats_scan); with inf set, workers inflate
+// first and the chain walker chases the inflated frontier, so the
+// sequential record walk costs no extra wall time (it hides behind
+// the inflate) and scan chunks start while later blocks still inflate.
+void run_stats_pipeline(const uint8_t* data, int64_t end, int64_t start,
+                        int32_t n_ref, int32_t skip_mask, int32_t req_mask,
+                        int32_t n_threads, int64_t* scalars,
+                        StatsScanState* st, InflateWork* inf) {
   int64_t max_chunks = (end - start) / (kChunkRecs * 36) + 2;
   std::vector<int64_t> chunk_off((size_t)max_chunks, 0);
   st->chunks.resize((size_t)max_chunks);
@@ -742,7 +939,31 @@ void* ct_stats_scan(const uint8_t* data, int64_t end, int64_t start,
 
   auto chain = [&]() {
     int64_t pos = start, nrec = 0;
-    while (pos + 4 <= end) {
+    int64_t avail = inf ? inf->base : end;  // inflated frontier (bytes)
+    int64_t fr = 0;                          // confirmed inflate chunks
+    auto ensure = [&](int64_t need) -> bool {
+      while (avail < need) {
+        if (!inf) return false;
+        if (inf->err.load()) return false;
+        bool moved = false;
+        while (fr < inf->n_ichunks &&
+               inf->done[(size_t)fr].load(std::memory_order_acquire)) {
+          fr++;
+          moved = true;
+        }
+        if (moved) {
+          int64_t blk = fr * InflateWork::BCHUNK;
+          if (blk > inf->n_blocks) blk = inf->n_blocks;
+          avail = inf->base + inf->cum_out[blk];
+        } else if (fr >= inf->n_ichunks) {
+          avail = end;
+        } else {
+          std::this_thread::yield();
+        }
+      }
+      return true;
+    };
+    while (pos + 4 <= end && ensure(pos + 4)) {
       uint32_t bs;
       memcpy(&bs, data + pos, 4);
       if (bs == 0 || pos + 4 + (int64_t)bs > end) break;
@@ -750,6 +971,7 @@ void* ct_stats_scan(const uint8_t* data, int64_t end, int64_t start,
         chain_err = nrec + 1;
         break;
       }
+      if (!ensure(pos + 4 + (int64_t)bs)) break;
       if ((nrec & (kChunkRecs - 1)) == 0) {
         int64_t ci = nrec >> kChunkShift;
         chunk_off[(size_t)ci] = pos;
@@ -769,126 +991,17 @@ void* ct_stats_scan(const uint8_t* data, int64_t end, int64_t start,
   };
 
   auto scan_chunk = [&](int64_t ci) {
-    ChunkOut& out = st->chunks[(size_t)ci];
-    int64_t pos = chunk_off[(size_t)ci];
     int64_t count = kChunkRecs;
     // ci == total-1 is only observable after the chain's release store,
     // which orders the n_records write before this read
     if (ci == total_chunks.load(std::memory_order_acquire) - 1)
       count = st->n_records - (ci << kChunkShift);
-    out.runs.reserve(8);
-    out.btid.reserve((size_t)count + count / 8);
-    out.bstart.reserve((size_t)count + count / 8);
-    out.bend.reserve((size_t)count + count / 8);
-    StatsRun run{};
-    int32_t cur_tid = -2;
-    int32_t prev_tid = -1;
-    auto flush = [&]() {
-      if (cur_tid >= 0) out.runs.push_back(run);
-    };
-    for (int64_t r = 0; r < count; r++) {
-      uint32_t bs;
-      memcpy(&bs, data + pos, 4);
-      const uint8_t* rec = data + pos + 4;
-      int64_t rec_len = bs;
-      pos += 4 + (int64_t)bs;
-
-      int32_t tid, posr;
-      memcpy(&tid, rec, 4);
-      memcpy(&posr, rec + 4, 4);
-      uint8_t l_read_name = rec[8];
-      uint16_t n_cigar, flag;
-      memcpy(&n_cigar, rec + 12, 2);
-      memcpy(&flag, rec + 14, 2);
-
-      bool primary = (flag & 0x900) == 0;
-      out.n_primary += primary;
-      bool mapped = (flag & 0x4) == 0;
-      bool pass = ((flag & skip_mask) == 0) &&
-                  ((flag & req_mask) == req_mask);
-      if (!(pass && mapped)) continue;
-
-      if (tid < 0 || tid >= n_ref) {
-        out.err = r + 1;
-        flush();
-        return;
-      }
-      if (out.first_tid < 0) out.first_tid = tid;
-      if (tid < prev_tid) out.sorted = false;
-      prev_tid = tid;
-      out.last_tid = tid;
-
-      if (tid != cur_tid) {
-        flush();
-        run = StatsRun{};
-        run.tid = tid;
-        cur_tid = tid;
-      }
-      bool nonsupp = (flag & 0x800) == 0;
-      run.reads_all++;
-      run.reads_primary += primary;
-      run.reads_nonsupp += nonsupp;
-
-      // CIGAR walk: coverage blocks + aligned length + indels
-      // (contig.rs:168-202 semantics)
-      const uint8_t* cig = rec + 32 + l_read_name;
-      int64_t cursor = posr, a_cov = 0, ind = 0;
-      for (int64_t k = 0; k < n_cigar; k++) {
-        uint32_t c;
-        memcpy(&c, cig + 4 * k, 4);
-        uint32_t op = c & 0xF;
-        int64_t ln = c >> 4;
-        switch (op) {
-          case 0:
-          case 7:
-          case 8:  // M / = / X
-            out.btid.push_back(tid);
-            out.bstart.push_back((int32_t)cursor);
-            out.bend.push_back((int32_t)(cursor + ln));
-            a_cov += ln;
-            cursor += ln;
-            break;
-          case 1:  // I
-            a_cov += ln;
-            ind += ln;
-            break;
-          case 2:  // D
-            a_cov += ln;
-            ind += ln;
-            cursor += ln;
-            break;
-          case 3:  // N
-            cursor += ln;
-            break;
-          default:  // S/H/P
-            break;
-        }
-      }
-      int32_t l_seq;
-      memcpy(&l_seq, rec + 16, 4);
-      int64_t aux = 32 + l_read_name + 4ll * n_cigar + (l_seq + 1) / 2 + l_seq;
-      int64_t nm = scan_nm_only(rec, aux, rec_len);
-      if (nm == INT64_MIN + 1) {
-        out.err = r + 1;
-        flush();
-        return;
-      }
-      run.indel_sum += ind;
-      if (nm == INT64_MIN) {
-        out.nm_missing++;  // the caller raises before any result is used
-      } else {
-        run.nm_sum += nm;
-        if (a_cov > 0) {
-          double idv = (double)(a_cov - nm) / (double)a_cov;
-          run.ident_primary += primary ? idv : 0.0;
-          run.ident_nonsupp += nonsupp ? idv : 0.0;
-        }
-      }
-    }
-    flush();
+    scan_chunk_records(data, chunk_off[(size_t)ci], count, n_ref,
+                       skip_mask, req_mask, st->chunks[(size_t)ci]);
   };
 
   auto worker = [&]() {
+    if (inf) inflate_drain(inf);  // drain all blocks before scanning
     while (true) {
       int64_t ci = next_chunk.fetch_add(1);
       while (true) {
@@ -902,9 +1015,11 @@ void* ct_stats_scan(const uint8_t* data, int64_t end, int64_t start,
 
   int nt = n_threads < 1 ? 1 : n_threads;
   std::vector<std::thread> pool;
-  for (int t = 1; t < nt; t++) pool.emplace_back(worker);
+  // with an inflate stage all nt workers inflate while the caller
+  // chains behind the frontier; otherwise the caller chains then scans
+  for (int t = inf ? 0 : 1; t < nt; t++) pool.emplace_back(worker);
   chain();   // the calling thread chains, then joins the scan pool
-  worker();
+  if (!inf) worker();
   for (auto& th : pool) th.join();
 
   // merge chunk summaries (chunk order -> deterministic)
@@ -935,7 +1050,79 @@ void* ct_stats_scan(const uint8_t* data, int64_t end, int64_t start,
   scalars[6] = first_tid;
   scalars[7] = last_tid;
   scalars[8] = err;
+  scalars[9] = inf ? inf->err.load() : 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Run the fused scan over the COMPLETE records in [start, end) of a
+// pre-decoded buffer.  Returns an opaque handle (free with
+// ct_stats_free) or null on alloc failure.  scalars[0..9]: n_records,
+// end_off, n_blocks, n_primary, nm_missing, sorted(1 ok), first_tid,
+// last_tid, err(record idx+1), inflate_err(always 0 here).
+void* ct_stats_scan(const uint8_t* data, int64_t end, int64_t start,
+                    int32_t n_ref, int32_t skip_mask, int32_t req_mask,
+                    int32_t n_threads, int64_t* scalars) {
+  auto* st = new StatsScanState();
+  run_stats_pipeline(data, end, start, n_ref, skip_mask, req_mask,
+                     n_threads, scalars, st, nullptr);
   return st;
+}
+
+// Fully fused segment ingest: threaded BGZF inflate + frontier-chasing
+// record chain + stats/block scan in ONE call.  `carry` (the previous
+// segment's incomplete tail record) is copied to the head of the
+// malloc'd decode buffer; `start` is the parse offset within the
+// assembled buffer (normally 0).  The handle owns the decode buffer —
+// read the leftover tail with ct_stats_leftover before freeing.
+void* ct_ingest_scan(const uint8_t* comp, int64_t n_blocks,
+                     const int64_t* b_off, const int64_t* b_csz,
+                     const int64_t* b_usz, const uint8_t* carry,
+                     int64_t carry_len, int64_t start, int32_t n_ref,
+                     int32_t skip_mask, int32_t req_mask,
+                     int32_t n_threads, int64_t* scalars) {
+  auto* inf = new InflateWork();
+  inf->comp = comp;
+  inf->n_blocks = n_blocks;
+  inf->b_off = b_off;
+  inf->b_csz = b_csz;
+  inf->cum_out.resize((size_t)n_blocks + 1);
+  inf->cum_out[0] = 0;
+  for (int64_t i = 0; i < n_blocks; i++)
+    inf->cum_out[(size_t)i + 1] = inf->cum_out[(size_t)i] + b_usz[i];
+  int64_t total = carry_len + inf->cum_out[(size_t)n_blocks];
+  uint8_t* buf = (uint8_t*)malloc((size_t)(total > 0 ? total : 1));
+  if (!buf) {
+    delete inf;
+    return nullptr;
+  }
+  if (carry_len) memcpy(buf, carry, (size_t)carry_len);
+  inf->dest = buf;
+  inf->base = carry_len;
+  inf->n_ichunks =
+      (n_blocks + InflateWork::BCHUNK - 1) / InflateWork::BCHUNK;
+  inf->done.reset(new std::atomic<uint8_t>[(size_t)(inf->n_ichunks > 0
+                                                    ? inf->n_ichunks
+                                                    : 1)]);
+  for (int64_t i = 0; i < inf->n_ichunks; i++) inf->done[(size_t)i] = 0;
+
+  auto* st = new StatsScanState();
+  st->buf = buf;
+  st->buf_len = total;
+  run_stats_pipeline(buf, total, start, n_ref, skip_mask, req_mask,
+                     n_threads, scalars, st, inf);
+  delete inf;
+  return st;
+}
+
+// Copy the unconsumed tail bytes [end_off, buf_len) out of an ingest
+// handle's decode buffer (the next segment's carry).
+void ct_stats_leftover(void* handle, uint8_t* dst) {
+  auto* st = (StatsScanState*)handle;
+  int64_t n = st->buf_len - st->end_off;
+  if (n > 0 && st->buf) memcpy(dst, st->buf + st->end_off, (size_t)n);
 }
 
 // Accumulate the per-contig statistics (+=) into caller arrays (length
@@ -947,7 +1134,7 @@ int ct_stats_fill(void* handle, int32_t n_ref, int64_t* reads_primary,
                   int64_t* nm_sum, int64_t* indel_sum,
                   double* ident_primary, double* ident_nonsupp,
                   uint8_t* observed, int32_t* btid, int32_t* bstart,
-                  int32_t* bend) {
+                  int32_t* bend, int64_t* block_counts) {
   auto* st = (StatsScanState*)handle;
   int64_t b = 0;
   for (int64_t ci = 0; ci < st->n_chunks; ci++) {
@@ -961,6 +1148,7 @@ int ct_stats_fill(void* handle, int32_t n_ref, int64_t* reads_primary,
       indel_sum[r.tid] += r.indel_sum;
       ident_primary[r.tid] += r.ident_primary;
       ident_nonsupp[r.tid] += r.ident_nonsupp;
+      if (block_counts) block_counts[r.tid] += r.block_count;
       observed[r.tid] = 1;
     }
     size_t nb = c.btid.size();
@@ -974,6 +1162,10 @@ int ct_stats_fill(void* handle, int32_t n_ref, int64_t* reads_primary,
   return 0;
 }
 
-void ct_stats_free(void* handle) { delete (StatsScanState*)handle; }
+void ct_stats_free(void* handle) {
+  auto* st = (StatsScanState*)handle;
+  if (st->buf) free(st->buf);
+  delete st;
+}
 
 }  // extern "C"

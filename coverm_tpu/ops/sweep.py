@@ -556,30 +556,49 @@ def empty_depth_stats(C, need_hist, trim):
                       zero(), zero())
 
 
-def prep_segments(layout: ReferenceLayout, tids, starts, ends):
+def prep_segments(layout: ReferenceLayout, tids, starts, ends,
+                  contig_counts=None):
     """Shared host prologue: tid-sort fallback + dense remap.
 
     Returns (tids, starts, ends, seg_ids, n_seg, seg_len_dev, n_out, obs,
     counts); obs is None unless the dense remap kicked in.
-    """
+
+    contig_counts (int64[C], from the native fused scan) certifies that
+    blocks arrive grouped by contig in tid order and carries the
+    per-contig block counts, skipping the sortedness pass and the
+    bincount over all blocks."""
     C = layout.n_contigs
-    if np.any(tids[1:] < tids[:-1]):
-        order = np.argsort(tids, kind="stable")
-        tids, starts, ends = tids[order], starts[order], ends[order]
+    if contig_counts is None:
+        if np.any(tids[1:] < tids[:-1]):
+            order = np.argsort(tids, kind="stable")
+            tids, starts, ends = tids[order], starts[order], ends[order]
     if C > DENSE_REMAP_THRESHOLD:
-        obs = np.unique(tids)
+        if contig_counts is None:
+            obs = np.unique(tids)
+        else:
+            obs = np.flatnonzero(contig_counts)
         seg_ids = np.searchsorted(obs, tids).astype(np.int32)
         n_seg = _bucket(obs.size, minimum=8)
         seg_len = np.zeros(n_seg, dtype=np.int64)
         seg_len[: obs.size] = layout.lengths[obs]
         seg_len_dev = jnp.asarray(seg_len)
         n_out = obs.size
+        if contig_counts is not None:
+            counts = np.zeros(n_seg, dtype=np.int64)
+            counts[: obs.size] = contig_counts[obs]
+            return (tids, starts, ends, seg_ids, n_seg, seg_len_dev, n_out,
+                    obs, counts)
     else:
         obs = None
         seg_ids = tids.astype(np.int32)
         n_seg = _bucket(C, minimum=8)
         seg_len_dev = _device_lengths(layout, n_seg)
         n_out = C
+        if contig_counts is not None:
+            counts = np.zeros(n_seg, dtype=np.int64)
+            counts[:C] = contig_counts
+            return (tids, starts, ends, seg_ids, n_seg, seg_len_dev, n_out,
+                    obs, counts)
     counts = np.bincount(seg_ids, minlength=n_seg)
     return tids, starts, ends, seg_ids, n_seg, seg_len_dev, n_out, obs, counts
 
@@ -840,7 +859,8 @@ def prewarm_sweep(n_blocks: int, n_contigs: int, ee: int,
 def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
                               need_hist: bool = False, trim=None,
                               need_max: bool = True, deferred: bool = False,
-                              acc: "DepthAccumulator | None" = None):
+                              acc: "DepthAccumulator | None" = None,
+                              contig_counts=None):
     """Event-sweep drop-in for compute_depth_stats (transfer-minimal).
 
     Host cost is O(B): a bincount for the contig-id run lengths (blocks
@@ -866,7 +886,8 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
     ee = layout.contig_end_exclusion
     n_blocks = tids.size
     (tids, starts, ends, seg_ids, n_seg, seg_len_dev, n_out, obs,
-     counts) = prep_segments(layout, tids, starts, ends)
+     counts) = prep_segments(layout, tids, starts, ends,
+                             contig_counts=contig_counts)
 
     if _use_pallas():
         return _sweep_legacy(layout, seg_ids, starts, ends, obs, n_seg,
