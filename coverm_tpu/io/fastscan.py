@@ -205,11 +205,14 @@ class FusedScanStream:
 
 
 def scan_sample_fused(header, stream: FusedScanStream, layout, flag_filter,
-                      need_hist: bool, trim=None):
+                      need_hist: bool, trim=None, depth_fn=None):
     """One-native-pass streaming scan -> SampleScan.
 
     Matches scan.scan_sample_batches semantically (same SampleScan, same
-    error messages) while doing all per-record work in C++."""
+    error messages) while doing all per-record work in C++.  depth_fn
+    (default: the single-device accumulator sweep) may be any
+    deferred-capable engine — the contig-sharded mesh sweep routes here
+    too, so multi-device runs get the same fused host ingestion."""
     from ..prefetch import prefetch_iter
     from ..scan import (BamSortingError, MissingNMTagError, SampleScan,
                         merge_depth_stats)
@@ -234,6 +237,11 @@ def scan_sample_fused(header, stream: FusedScanStream, layout, flag_filter,
             bs = np.concatenate([c[1] for c in chunks])
             be = np.concatenate([c[2] for c in chunks])
         if bt.size == 0:
+            return
+        if depth_fn is not None:
+            pendings.append(depth_fn(layout, bt, bs, be,
+                                     need_hist=need_hist, trim=trim,
+                                     need_max=False, deferred=True))
             return
         pendings.append(compute_depth_stats_sweep(
             layout, bt, bs, be, need_hist=need_hist, trim=trim,

@@ -233,6 +233,19 @@ def scan_sample_batches(header: BamHeader, batches, layout: ReferenceLayout,
     return agg if agg is not None else _empty_scan(header)
 
 
+def _deferred_capable(depth_fn) -> bool:
+    """True for engines the fused scanner can drive (deferred dispatch
+    with per-group contig-disjoint merge): the contig-sharded mesh
+    sweep. Multi-host engines keep the classic batch path."""
+    import functools
+    fn = depth_fn.func if isinstance(depth_fn, functools.partial) else depth_fn
+    try:
+        from .parallel.mesh_sweep import compute_depth_stats_sweep_mesh
+    except Exception:  # pragma: no cover
+        return False
+    return fn is compute_depth_stats_sweep_mesh
+
+
 def scan_any(header, payload, layout, flag_filter, need_hist, trim=None,
              depth_fn=compute_depth_stats_sweep) -> SampleScan:
     """Dispatch: RecordBatch -> scan_sample; FusedScanStream -> the
@@ -243,10 +256,14 @@ def scan_any(header, payload, layout, flag_filter, need_hist, trim=None,
                            trim=trim, depth_fn=depth_fn)
     from .io.fastscan import FusedScanStream, fused_available, \
         scan_sample_fused
-    if isinstance(payload, FusedScanStream):
-        if depth_fn is compute_depth_stats_sweep and fused_available():
+    if isinstance(payload, FusedScanStream) and fused_available():
+        if depth_fn is compute_depth_stats_sweep:
             return scan_sample_fused(header, payload, layout, flag_filter,
                                      need_hist, trim=trim)
+        if _deferred_capable(depth_fn):
+            return scan_sample_fused(header, payload, layout, flag_filter,
+                                     need_hist, trim=trim, depth_fn=depth_fn)
+    if isinstance(payload, FusedScanStream):
         payload = payload.batches()
     return scan_sample_batches(header, payload, layout, flag_filter,
                                need_hist, trim=trim, depth_fn=depth_fn)
