@@ -1412,17 +1412,141 @@ def bam_header_bytes_from_sam_text(sam_text: str) -> bytes:
     return bytes(out)
 
 
+_REQUIRE_SEQ_MSG = (
+    "CRAM slice stores read bases against a reference but carries no "
+    "embedded reference, so sequences cannot be reconstructed for BAM "
+    "output. Re-encode with the reference available, e.g.: samtools "
+    "view -b -T ref.fna in.cram > in.bam")
+
+
+def _rg_ids_of(sam_text: str) -> list:
+    out = []
+    for line in sam_text.splitlines():
+        if line.startswith("@RG"):
+            for f in line.split("\t")[1:]:
+                if f.startswith("ID:"):
+                    out.append(f[3:])
+                    break
+    return out
+
+
+def _native_cram_available() -> bool:
+    import os
+    if os.environ.get("COVERM_TPU_NATIVE_CRAM", "1") == "0":
+        return False
+    from . import native
+    lib = native.get_lib()
+    return lib is not None and hasattr(lib, "ct_cram_decode_slice")
+
+
+def _iter_bam_segments_native(raw, require_seq: bool):
+    """Container walk with the native slice decoder (cramdecode.cpp);
+    any slice the native decoder rejects falls back to the pure-python
+    record model, so output is identical either way."""
+    from . import native
+    if not is_cram(raw):
+        raise CramFormatError("Not a CRAM file (bad magic)")
+    major = raw[4]
+    if major != 3:
+        raise CramFormatError(
+            f"Unsupported CRAM major version {major}; re-encode as 3.0, "
+            "e.g.: samtools view -C --output-fmt cram,version=3.0 in.cram")
+    p = 26
+    c, p = read_container_header(raw, p)
+    hdr_block, _ = read_block(raw, c.blocks_start)
+    if hdr_block.content_type != CT_FILE_HEADER:
+        raise CramFormatError("First container lacks the SAM header block")
+    (text_len,) = struct.unpack_from("<i", hdr_block.data, 0)
+    sam_text = hdr_block.data[4:4 + text_len].decode()
+    rg_ids = _rg_ids_of(sam_text)
+    rg_blob = b"\x00".join(g.encode() for g in rg_ids)
+    yield bam_header_bytes_from_sam_text(sam_text)
+    p = c.blocks_start + c.length
+
+    while p < len(raw):
+        if raw[p:p + len(CRAM_EOF)] == CRAM_EOF:
+            return
+        c, p = read_container_header(raw, p)
+        end = c.blocks_start + c.length
+        q = c.blocks_start
+        if c.n_records == 0 and c.ref_id == -1 and c.n_blocks <= 1:
+            p = end  # empty / non-canonical EOF container
+            continue
+        comp_block, q = read_block(raw, q)
+        if comp_block.content_type != CT_COMP_HEADER:
+            raise CramFormatError("Container missing compression header")
+        comp = None  # python CompressionHeader, parsed only on fallback
+        chunks = []
+        while q < end:
+            sh_block, q = read_block(raw, q)
+            if sh_block.content_type != CT_SLICE_HEADER:
+                raise CramFormatError("Expected slice header block")
+            sl = parse_slice_header(sh_block.data)
+            core_data = b""
+            ext_items = []
+            for _ in range(sl.n_blocks):
+                b, q = read_block(raw, q)
+                if b.content_type == CT_CORE:
+                    core_data = b.data
+                elif b.content_type == CT_EXTERNAL:
+                    ext_items.append((b.content_id, b.data))
+            res = native.cram_decode_slice(comp_block.data, sh_block.data,
+                                           core_data, ext_items, rg_blob)
+            if res is not None:
+                bam_bytes, _nrec, incomplete = res
+                if require_seq and incomplete:
+                    raise CramFormatError(_REQUIRE_SEQ_MSG)
+                chunks.append(bam_bytes)
+                continue
+            # python fallback for this slice (identical record model)
+            if comp is None:
+                comp = parse_compression_header(comp_block.data)
+            core = BitReader(core_data)
+            ext = {}
+            embedded_ref = None
+            for cid, data in ext_items:
+                if sl.embedded_ref_id >= 0 and cid == sl.embedded_ref_id:
+                    embedded_ref = data
+                ext[cid] = _ExtStream(data)
+            recs = _decode_slice_records(comp, sl, core, ext,
+                                         embedded_ref=embedded_ref)
+            part = bytearray()
+            for r in recs:
+                if require_seq and r.seq_incomplete:
+                    raise CramFormatError(_REQUIRE_SEQ_MSG)
+                if 0 <= r.rg < len(rg_ids) and not any(
+                        t == "RG" for t, _typ, _p2 in r.tags):
+                    r.tags.append(("RG", "Z",
+                                   rg_ids[r.rg].encode() + b"\x00"))
+                part += _bam_record_bytes(r)
+            chunks.append(bytes(part))
+        yield b"".join(chunks)
+        p = end
+
+
 def iter_bam_segments(raw: bytes, require_seq: bool = False):
     """Yield uncompressed-BAM byte segments: first the header segment,
     then one segment of record bytes per data container.  Peak decoded
     memory is O(container), the CRAM analogue of BGZF segment
-    streaming.
+    streaming.  The record model runs in the native decoder
+    (cramdecode.cpp) when available, falling back slice-by-slice to the
+    python reference implementation below.
 
     require_seq=True (the `filter` rewrite path) fails loudly when read
     bases cannot be reconstructed — i.e. the container stores bases by
     reference (htslib's default RR=1) and the slice carries no embedded
     reference.  Coverage paths leave it False: they never inspect base
     identity, only CIGAR/flags/NM, which decode exactly either way."""
+    if _native_cram_available():
+        try:
+            yield from _iter_bam_segments_native(raw, require_seq)
+        except (IndexError, struct.error, zlib.error, EOFError, KeyError,
+                ValueError, UnicodeDecodeError) as e:
+            raise CramFormatError(
+                f"Truncated or corrupt CRAM file ({e}); if the file is a "
+                "newer CRAM minor version re-encode it, e.g.: samtools view "
+                "-C --output-fmt cram,version=3.0 in.cram") from e
+        return
     rg_ids = []
     for sam_text, records in iter_cram_containers(raw):
         if sam_text is not None:

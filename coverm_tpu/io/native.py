@@ -102,6 +102,17 @@ def get_lib():
             lib.ct_stats_leftover.argtypes = [ctypes.c_void_p, c_u8p]
         except AttributeError:
             pass
+        try:
+            lib.ct_cram_decode_slice.restype = ctypes.c_void_p
+            lib.ct_cram_decode_slice.argtypes = [
+                c_u8p, c_i64, c_u8p, c_i64, c_u8p, c_i64, c_u8p, c_i64p,
+                c_i64p, c_i64, c_u8p, c_i64, c_i64p]
+            lib.ct_cram_out.restype = None
+            lib.ct_cram_out.argtypes = [ctypes.c_void_p, c_u8p]
+            lib.ct_cram_free.restype = None
+            lib.ct_cram_free.argtypes = [ctypes.c_void_p]
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
 
@@ -460,6 +471,41 @@ def stats_scan(data, start: int, acc: StatsAccum, skip_mask: int,
     btid, bstart, bend, seg_counts, _ = _finish_stats_handle(
         lib, h, scalars, acc, leftover_from_buf=False)
     return btid, bstart, bend, seg_counts, int(scalars[1])
+
+
+def cram_decode_slice(comp_hdr, slice_hdr, core, ext_items, rg_blob):
+    """Native CRAM slice decode -> (bam_record_bytes, n_records,
+    n_seq_incomplete), or None (unavailable / malformed -> the caller
+    falls back to the pure-python decoder for this slice)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ct_cram_decode_slice"):
+        return None
+    comp = _as_u8(comp_hdr)
+    sh = _as_u8(slice_hdr)
+    cr = _as_u8(core)
+    ids = np.asarray([cid for cid, _ in ext_items], np.int64)
+    lens = np.asarray([len(d) for _, d in ext_items], np.int64)
+    off = np.zeros(ids.size + 1, np.int64)
+    if ids.size:
+        np.cumsum(lens, out=off[1:])
+    buf = _as_u8(b"".join(bytes(d) for _, d in ext_items))
+    rg = _as_u8(rg_blob)
+    scalars = np.zeros(4, np.int64)
+    h = lib.ct_cram_decode_slice(_u8p(comp), comp.size, _u8p(sh), sh.size,
+                                 _u8p(cr), cr.size, _u8p(buf), _i64p(off),
+                                 _i64p(ids), ids.size, _u8p(rg), rg.size,
+                                 _i64p(scalars))
+    if not h:
+        return None
+    try:
+        if scalars[2]:
+            return None
+        out = np.empty(int(scalars[1]), np.uint8)
+        if out.size:
+            lib.ct_cram_out(h, _u8p(out))
+    finally:
+        lib.ct_cram_free(h)
+    return out.tobytes(), int(scalars[0]), int(scalars[3])
 
 
 def rans_decode(blob) -> bytes | None:
