@@ -1078,6 +1078,10 @@ def _decode_slice_records(comp: CompressionHeader, sl: SliceHeader,
         r.cf = dint("CF")
         r.tid = dint("RI") if sl.ref_id == -2 else sl.ref_id
         r.rl = dint("RL")
+        if r.rl < 0 or r.rl > (1 << 28):
+            # corrupt length: bound allocations (a flipped RL byte must
+            # not swallow gigabytes; the native decoder guards the same)
+            raise CramFormatError(f"Implausible CRAM read length {r.rl}")
         ap = dint("AP")
         if comp.ap_delta:
             r.pos = last_pos + ap
@@ -1109,6 +1113,8 @@ def _decode_slice_records(comp: CompressionHeader, sl: SliceHeader,
         qual = bytearray(b"\xff" * r.rl)
         if not (r.flag & F_UNMAP):
             fn = dint("FN")
+            if fn < 0 or fn > (1 << 24):
+                raise CramFormatError(f"Implausible CRAM feature count {fn}")
             cig = []
             read_cur = 0      # 0-based read cursor
             ref_cur = r.pos   # 1-based reference cursor
@@ -1310,11 +1316,12 @@ def iter_cram_containers(raw: bytes):
     try:
         yield from _iter_cram_containers(raw)
     except (IndexError, struct.error, zlib.error, EOFError, KeyError,
-            ValueError, UnicodeDecodeError) as e:
+            ValueError, UnicodeDecodeError, lzma.LZMAError, OSError) as e:
         # KeyError: a referenced data series / tag codec missing from the
         # compression header; ValueError: a BYTE_ARRAY_STOP terminator
-        # missing (bytes.index); UnicodeDecodeError: non-UTF8 SAM header —
-        # all must surface through the CLI's fail-fast `Error:` path
+        # missing (bytes.index); UnicodeDecodeError: non-UTF8 SAM header;
+        # LZMAError/OSError: corrupt lzma/bzip2 block payloads — all must
+        # surface through the CLI's fail-fast `Error:` path
         raise CramFormatError(
             f"Truncated or corrupt CRAM file ({e}); if the file is a "
             "newer CRAM minor version re-encode it, e.g.: samtools view "
@@ -1541,7 +1548,8 @@ def iter_bam_segments(raw: bytes, require_seq: bool = False):
         try:
             yield from _iter_bam_segments_native(raw, require_seq)
         except (IndexError, struct.error, zlib.error, EOFError, KeyError,
-                ValueError, UnicodeDecodeError) as e:
+                ValueError, UnicodeDecodeError, lzma.LZMAError,
+                OSError) as e:
             raise CramFormatError(
                 f"Truncated or corrupt CRAM file ({e}); if the file is a "
                 "newer CRAM minor version re-encode it, e.g.: samtools view "

@@ -194,6 +194,9 @@ int64_t ct_scan_records(const uint8_t* data, int64_t len, int64_t start,
     memcpy(&n_cigar, rec + 12, 2);
     int32_t l_seq;
     memcpy(&l_seq, rec + 16, 4);
+    if (l_seq < 0 ||
+        32 + (int64_t)l_read_name + 4ll * n_cigar > rec_len)
+      return -(r + 1);  // corrupt geometry (fuzz-hardening)
 
     // FNV-1a over the qname (excluding NUL)
     uint64_t h = 0xcbf29ce484222325ULL;
@@ -205,6 +208,7 @@ int64_t ct_scan_records(const uint8_t* data, int64_t len, int64_t start,
     qname_hash[r] = h;
 
     int64_t aux = 32 + l_read_name + 4LL * n_cigar + (l_seq + 1) / 2 + l_seq;
+    if (aux < 0 || aux > rec_len) aux = rec_len;  // corrupt: no aux
     int64_t nm_v = -1, as_v = AS_MISSING;
     int found = 0;
     while (aux + 3 <= rec_len && found < 2) {
@@ -214,14 +218,27 @@ int64_t ct_scan_records(const uint8_t* data, int64_t len, int64_t start,
       int has_val = 1;
       switch (typ) {
         case 'A':
-        case 'C': val = rec[aux]; aux += 1; break;
-        case 'c': val = (int8_t)rec[aux]; aux += 1; break;
-        case 'S': val = rec[aux] | (rec[aux + 1] << 8); aux += 2; break;
-        case 's': val = (int16_t)(rec[aux] | (rec[aux + 1] << 8)); aux += 2; break;
+        case 'C':
+        case 'c': {
+          if (aux + 1 > rec_len) return -(r + 1);
+          val = typ == 'c' ? (int8_t)rec[aux] : rec[aux];
+          aux += 1;
+          break;
+        }
+        case 'S':
+        case 's': {
+          if (aux + 2 > rec_len) return -(r + 1);
+          uint16_t v16 = rec[aux] | (rec[aux + 1] << 8);
+          val = typ == 's' ? (int16_t)v16 : v16;
+          aux += 2;
+          break;
+        }
         case 'I': {
+          if (aux + 4 > rec_len) return -(r + 1);
           uint32_t v; memcpy(&v, rec + aux, 4); val = v; aux += 4; break;
         }
         case 'i': {
+          if (aux + 4 > rec_len) return -(r + 1);
           int32_t v; memcpy(&v, rec + aux, 4); val = v; aux += 4; break;
         }
         case 'f': aux += 4; has_val = 0; break;
@@ -233,6 +250,7 @@ int64_t ct_scan_records(const uint8_t* data, int64_t len, int64_t start,
           break;
         }
         case 'B': {
+          if (aux + 5 > rec_len) return -(r + 1);
           uint8_t sub = rec[aux];
           uint32_t cnt; memcpy(&cnt, rec + aux + 1, 4);
           int esz = (sub == 'c' || sub == 'C') ? 1
@@ -280,6 +298,8 @@ int64_t ct_parse_phase1(const uint8_t* data, int64_t len, int64_t start,
     uint8_t l_read_name = rec[8];
     uint16_t n_cigar;
     memcpy(&n_cigar, rec + 12, 2);
+    if (32 + (int64_t)l_read_name + 4ll * n_cigar > (int64_t)bs)
+      return r;  // corrupt geometry: stop; caller falls back
     const uint8_t* cig = rec + 32 + l_read_name;
     int64_t nb = 0;
     for (int64_t k = 0; k < n_cigar; k++) {
@@ -331,6 +351,11 @@ int ct_parse_phase2(const uint8_t* data, int64_t n, const int64_t* rec_off,
         int32_t l_seq;
         memcpy(&l_seq, rec + 16, 4);
         l_seq_out[r] = l_seq;
+        if (l_seq < 0 ||
+            32 + (int64_t)l_read_name + 4ll * n_cigar > rec_len) {
+          err.store(r + 1);
+          return;  // corrupt geometry (fuzz-hardening)
+        }
 
         // FNV-1a qname hash
         uint64_t h = 0xcbf29ce484222325ULL;
@@ -387,6 +412,7 @@ int ct_parse_phase2(const uint8_t* data, int64_t n, const int64_t* rec_off,
 
         // aux scan: NM + AS
         int64_t aux = 32 + l_read_name + 4LL * n_cigar + (l_seq + 1) / 2 + l_seq;
+        if (aux < 0 || aux > rec_len) aux = rec_len;  // corrupt: no aux
         int64_t nm_v = -1, as_v = AS_MISSING;
         int found = 0;
         while (aux + 3 <= rec_len && found < 2) {
@@ -396,14 +422,27 @@ int ct_parse_phase2(const uint8_t* data, int64_t n, const int64_t* rec_off,
           int has_val = 1;
           switch (typ) {
             case 'A':
-            case 'C': val = rec[aux]; aux += 1; break;
-            case 'c': val = (int8_t)rec[aux]; aux += 1; break;
-            case 'S': val = rec[aux] | (rec[aux + 1] << 8); aux += 2; break;
-            case 's': val = (int16_t)(rec[aux] | (rec[aux + 1] << 8)); aux += 2; break;
+            case 'C':
+            case 'c': {
+              if (aux + 1 > rec_len) { err.store(r + 1); return; }
+              val = typ == 'c' ? (int8_t)rec[aux] : rec[aux];
+              aux += 1;
+              break;
+            }
+            case 'S':
+            case 's': {
+              if (aux + 2 > rec_len) { err.store(r + 1); return; }
+              uint16_t v16 = rec[aux] | (rec[aux + 1] << 8);
+              val = typ == 's' ? (int16_t)v16 : v16;
+              aux += 2;
+              break;
+            }
             case 'I': {
+              if (aux + 4 > rec_len) { err.store(r + 1); return; }
               uint32_t v; memcpy(&v, rec + aux, 4); val = v; aux += 4; break;
             }
             case 'i': {
+              if (aux + 4 > rec_len) { err.store(r + 1); return; }
               int32_t v; memcpy(&v, rec + aux, 4); val = v; aux += 4; break;
             }
             case 'f': aux += 4; has_val = 0; break;
@@ -415,6 +454,7 @@ int ct_parse_phase2(const uint8_t* data, int64_t n, const int64_t* rec_off,
               break;
             }
             case 'B': {
+              if (aux + 5 > rec_len) { err.store(r + 1); return; }
               uint8_t sub = rec[aux];
               uint32_t cnt; memcpy(&cnt, rec + aux + 1, 4);
               int esz = (sub == 'c' || sub == 'C') ? 1
@@ -686,14 +726,27 @@ inline int64_t scan_nm_only(const uint8_t* rec, int64_t aux, int64_t rec_len) {
     int has_val = 1;
     switch (typ) {
       case 'A':
-      case 'C': val = rec[aux]; aux += 1; break;
-      case 'c': val = (int8_t)rec[aux]; aux += 1; break;
-      case 'S': val = rec[aux] | (rec[aux + 1] << 8); aux += 2; break;
-      case 's': val = (int16_t)(rec[aux] | (rec[aux + 1] << 8)); aux += 2; break;
+      case 'C':
+      case 'c': {
+        if (aux + 1 > rec_len) return INT64_MIN + 1;
+        val = typ == 'c' ? (int8_t)rec[aux] : rec[aux];
+        aux += 1;
+        break;
+      }
+      case 'S':
+      case 's': {
+        if (aux + 2 > rec_len) return INT64_MIN + 1;
+        uint16_t v = rec[aux] | (rec[aux + 1] << 8);
+        val = typ == 's' ? (int16_t)v : v;
+        aux += 2;
+        break;
+      }
       case 'I': {
+        if (aux + 4 > rec_len) return INT64_MIN + 1;
         uint32_t v; memcpy(&v, rec + aux, 4); val = v; aux += 4; break;
       }
       case 'i': {
+        if (aux + 4 > rec_len) return INT64_MIN + 1;
         int32_t v; memcpy(&v, rec + aux, 4); val = v; aux += 4; break;
       }
       case 'f': aux += 4; has_val = 0; break;
@@ -705,6 +758,7 @@ inline int64_t scan_nm_only(const uint8_t* rec, int64_t aux, int64_t rec_len) {
         break;
       }
       case 'B': {
+        if (aux + 5 > rec_len) return INT64_MIN + 1;
         uint8_t sub = rec[aux];
         uint32_t cnt; memcpy(&cnt, rec + aux + 1, 4);
         int esz = (sub == 'c' || sub == 'C') ? 1
@@ -762,7 +816,13 @@ void scan_chunk_records(const uint8_t* data, int64_t pos, int64_t count,
                 ((flag & req_mask) == req_mask);
     if (!(pass && mapped)) continue;
 
-    if (tid < 0 || tid >= n_ref) {
+    // in-record geometry must fit before any region is walked
+    // (corrupt l_read_name/n_cigar/l_seq would otherwise read out of
+    // the buffer -- found by tests/test_native_fuzz.py)
+    int32_t l_seq_chk;
+    memcpy(&l_seq_chk, rec + 16, 4);
+    if (tid < 0 || tid >= n_ref || l_seq_chk < 0 ||
+        32 + (int64_t)l_read_name + 4ll * n_cigar > rec_len) {
       out.err = r + 1;
       flush();
       return;
@@ -822,6 +882,7 @@ void scan_chunk_records(const uint8_t* data, int64_t pos, int64_t count,
     int32_t l_seq;
     memcpy(&l_seq, rec + 16, 4);
     int64_t aux = 32 + l_read_name + 4ll * n_cigar + (l_seq + 1) / 2 + l_seq;
+    if (aux < 0 || aux > rec_len) aux = rec_len;  // corrupt: no aux region
     int64_t nm = scan_nm_only(rec, aux, rec_len);
     if (nm == INT64_MIN + 1) {
       out.err = r + 1;

@@ -726,7 +726,9 @@ struct SliceDecoder {
 static void resolve_mates(std::vector<Rec>& recs, const SliceHeader& sl) {
   char buf[32];
   for (size_t i = 0; i < recs.size(); i++) {
-    if (!recs[i].named || recs[i].name.empty()) {
+    // generate only for truly unnamed records (python: `name is None`;
+    // an RN-decoded EMPTY name stays empty for byte parity)
+    if (!recs[i].named) {
       int n = snprintf(buf, sizeof(buf), "cr%lld",
                        (long long)(sl.record_counter + (int64_t)i));
       recs[i].name.assign(buf, (size_t)n);
