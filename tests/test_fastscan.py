@@ -183,3 +183,26 @@ def test_cli_genome_byte_parity(tmp_path):
         assert r.returncode == 0, r.stderr.decode()
         outs[fused] = r.stdout
     assert outs["1"] == outs["0"]
+
+
+def test_cli_byte_parity_real_reference_bam():
+    """Real htslib-produced BAM through the fused engine vs classic vs
+    whole-file decode: all three byte-identical."""
+    path = "/root/reference/tests/data/7seqs.reads_for_seq1_and_seq2.bam"
+    if not os.path.exists(path):
+        pytest.skip("reference fixture unavailable")
+    outs = []
+    for env_extra in (
+        {"COVERM_TPU_FUSED": "1", "COVERM_TPU_STREAM_THRESHOLD": "1"},
+        {"COVERM_TPU_FUSED": "0", "COVERM_TPU_STREAM_THRESHOLD": "1"},
+        {},  # whole-file decode (file below the default threshold)
+    ):
+        env = dict(os.environ, COVERM_TPU_PLATFORM="cpu",
+                   COVERM_TPU_MESH="0", **env_extra)
+        r = subprocess.run(
+            [sys.executable, "-m", "coverm_tpu", "contig", "-b", path,
+             "-m", "mean", "trimmed_mean", "variance", "length", "count"],
+            capture_output=True, env=env, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr.decode()
+        outs.append(r.stdout)
+    assert outs[0] == outs[1] == outs[2]
