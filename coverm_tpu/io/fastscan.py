@@ -14,9 +14,9 @@ reference (bam_generator.rs:125-129) but with the per-record loop of
 contig.rs:107-215 folded into the decoder.
 
 Streaming state between segments:
-  - raw carry: the bytes of a record straddling the segment boundary are
-    copied into headroom ahead of the next segment's inflate output
-    (native.bgzf_inflate_blocks headroom) — no full-segment concat;
+  - raw carry: the bytes of a record straddling the segment boundary
+    thread through the native ingest call (copied to the head of the
+    next segment's decode buffer) — no full-segment concat;
   - block carry: the open (trailing) contig's BLOCKS are carried instead
     of its raw record bytes, so memory for a contig that spans many
     segments is 12 bytes/block instead of ~full record size (the

@@ -192,30 +192,23 @@ def bgzf_scan(arr: np.ndarray):
 
 
 def bgzf_inflate_blocks(arr: np.ndarray, off, csz, usz,
-                        n_threads: int = 0,
-                        prefix=None) -> np.ndarray | None:
+                        n_threads: int = 0) -> np.ndarray | None:
     """Multi-threaded inflate of a RANGE of BGZF blocks from `arr`.
 
     Returns a uint8 ndarray (NOT bytes) so downstream record parsing and
-    contig-boundary cuts are zero-copy views of the inflate buffer.
-    `prefix` (bytes/uint8 array) is copied to the head of the output —
-    the streaming scanner's carry of a record straddling the segment
-    boundary, avoiding a full-segment concat copy."""
+    contig-boundary cuts are zero-copy views of the inflate buffer."""
     lib = get_lib()
     if lib is None:
         return None
-    npre = 0 if prefix is None else len(prefix)
     out_off = np.concatenate(([0], np.cumsum(usz)))[:-1]
-    out = np.empty(npre + int(usz.sum()), np.uint8)
-    if npre:
-        out[:npre] = _as_u8(prefix)
+    out = np.empty(int(usz.sum()), np.uint8)
     if n_threads <= 0:
         n_threads = min(os.cpu_count() or 1, 8)
     rc = lib.ct_bgzf_inflate(_u8p(arr), off.size,
                              _i64p(np.ascontiguousarray(off)),
                              _i64p(np.ascontiguousarray(csz)),
                              _i64p(np.ascontiguousarray(usz)),
-                             _i64p(out_off), _u8p(out[npre:]), n_threads)
+                             _i64p(out_off), _u8p(out), n_threads)
     if rc != 0:
         return None
     return out
