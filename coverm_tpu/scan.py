@@ -236,14 +236,17 @@ def scan_sample_batches(header: BamHeader, batches, layout: ReferenceLayout,
 def _deferred_capable(depth_fn) -> bool:
     """True for engines the fused scanner can drive (deferred dispatch
     with per-group contig-disjoint merge): the contig-sharded mesh
-    sweep. Multi-host engines keep the classic batch path."""
+    sweep and the multi-host mesh (SPMD-safe — the fused segment walk
+    is deterministic, so every process issues identical dispatches)."""
     import functools
     fn = depth_fn.func if isinstance(depth_fn, functools.partial) else depth_fn
     try:
         from .parallel.mesh_sweep import compute_depth_stats_sweep_mesh
+        from .parallel.distributed import compute_depth_stats_sweep_multihost
     except Exception:  # pragma: no cover
         return False
-    return fn is compute_depth_stats_sweep_mesh
+    return fn in (compute_depth_stats_sweep_mesh,
+                  compute_depth_stats_sweep_multihost)
 
 
 def scan_any(header, payload, layout, flag_filter, need_hist, trim=None,

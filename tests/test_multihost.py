@@ -94,3 +94,24 @@ def test_two_process_histogram_method(tmp_path):
     r0, r1 = run_multiproc(argv)
     assert r0 == golden
     assert r1 == ""
+
+
+def test_two_process_fused_streaming_matches_single(tmp_path):
+    """Force the streaming threshold down so the 2-process job ingests
+    through the FUSED native scanner driving the multi-host mesh
+    dispatch (SPMD: both ranks walk identical segments); TSV must still
+    equal the single-process run byte for byte."""
+    bam = make_bam(str(tmp_path / "s.bam"))
+    argv = ["contig", "-b", bam, "-m", "mean", "trimmed_mean", "variance"]
+    old = os.environ.get("COVERM_TPU_STREAM_THRESHOLD")
+    os.environ["COVERM_TPU_STREAM_THRESHOLD"] = "1"
+    try:
+        golden = run_single(argv)
+        r0, r1 = run_multiproc(argv)
+    finally:
+        if old is None:
+            os.environ.pop("COVERM_TPU_STREAM_THRESHOLD", None)
+        else:
+            os.environ["COVERM_TPU_STREAM_THRESHOLD"] = old
+    assert r0 == golden
+    assert r1 == ""
