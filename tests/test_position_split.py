@@ -152,3 +152,33 @@ sys.exit(rc)
     # regression guard is that raw record bytes (~283 B/read) never
     # accumulate: block carry is 12 B/block
     assert peak < 900, f"peak RSS {peak} MB"
+
+
+def test_mesh_split_deep_contig_ragged_hist():
+    """A split contig deep enough to overflow the speculative histogram
+    keeps an exact ragged row (hist_wide) and min/max/trimmed derived
+    from it still match the single-device engine."""
+    rng = np.random.default_rng(9)
+    lengths = np.array([1000, 2000, 700, 1500, 3000, 801])
+    layout = ReferenceLayout.build(lengths, 10)
+    t = np.concatenate([np.zeros(6000, np.int64), np.full(200, 4, np.int64)])
+    s = np.concatenate([np.sort(rng.integers(0, 940, 6000)),
+                        np.sort(rng.integers(0, 2940, 200))])
+    e = s + rng.integers(30, 60, t.size)
+    mesh = make_shard_mesh(8)
+    got = compute_depth_stats_sweep_mesh(layout, t, s, e, need_hist=True,
+                                         trim=(0.05, 0.95), mesh=mesh)
+    ref = compute_depth_stats_sweep(layout, t, s, e, need_hist=True,
+                                    trim=(0.05, 0.95))
+    for f in ("sum_depth_window", "covered_window", "min_depth_window",
+              "max_depth_window", "trimmed_sum", "sumsq_window"):
+        np.testing.assert_array_equal(getattr(got, f), getattr(ref, f),
+                                      err_msg=f)
+    from coverm_tpu.modes import _dense_hist
+    ha, hb = _dense_hist(got), _dense_hist(ref)
+    W = max(ha.shape[1], hb.shape[1])
+    pa = np.zeros((len(lengths), W), np.int64)
+    pb = pa.copy()
+    pa[:, : ha.shape[1]] = ha
+    pb[:, : hb.shape[1]] = hb
+    np.testing.assert_array_equal(pa, pb, err_msg="hist")
