@@ -1470,64 +1470,76 @@ def _iter_bam_segments_native(raw, require_seq: bool):
     yield bam_header_bytes_from_sam_text(sam_text)
     p = c.blocks_start + c.length
 
-    while p < len(raw):
-        if raw[p:p + len(CRAM_EOF)] == CRAM_EOF:
-            return
-        c, p = read_container_header(raw, p)
-        end = c.blocks_start + c.length
-        q = c.blocks_start
-        if c.n_records == 0 and c.ref_id == -1 and c.n_blocks <= 1:
-            p = end  # empty / non-canonical EOF container
-            continue
-        comp_block, q = read_block(raw, q)
-        if comp_block.content_type != CT_COMP_HEADER:
-            raise CramFormatError("Container missing compression header")
-        comp = None  # python CompressionHeader, parsed only on fallback
-        chunks = []
-        while q < end:
-            sh_block, q = read_block(raw, q)
-            if sh_block.content_type != CT_SLICE_HEADER:
-                raise CramFormatError("Expected slice header block")
-            sl = parse_slice_header(sh_block.data)
-            core_data = b""
-            ext_items = []
-            for _ in range(sl.n_blocks):
-                b, q = read_block(raw, q)
-                if b.content_type == CT_CORE:
-                    core_data = b.data
-                elif b.content_type == CT_EXTERNAL:
-                    ext_items.append((b.content_id, b.data))
-            res = native.cram_decode_slice(comp_block.data, sh_block.data,
-                                           core_data, ext_items, rg_blob)
-            if res is not None:
-                bam_bytes, _nrec, incomplete = res
-                if require_seq and incomplete:
-                    raise CramFormatError(_REQUIRE_SEQ_MSG)
-                chunks.append(bam_bytes)
+    def slices():
+        """Per-slice (comp_block, sh_block, slice header, core, ext)
+        tuples; block decompression (gzip/rANS) happens here, on the
+        prefetch thread, overlapping the native record decode below."""
+        pp = p
+        while pp < len(raw):
+            if raw[pp:pp + len(CRAM_EOF)] == CRAM_EOF:
+                return
+            c2, pp = read_container_header(raw, pp)
+            end = c2.blocks_start + c2.length
+            q = c2.blocks_start
+            if c2.n_records == 0 and c2.ref_id == -1 and c2.n_blocks <= 1:
+                pp = end  # empty / non-canonical EOF container
                 continue
-            # python fallback for this slice (identical record model)
-            if comp is None:
-                comp = parse_compression_header(comp_block.data)
-            core = BitReader(core_data)
-            ext = {}
-            embedded_ref = None
-            for cid, data in ext_items:
-                if sl.embedded_ref_id >= 0 and cid == sl.embedded_ref_id:
-                    embedded_ref = data
-                ext[cid] = _ExtStream(data)
-            recs = _decode_slice_records(comp, sl, core, ext,
-                                         embedded_ref=embedded_ref)
-            part = bytearray()
-            for r in recs:
-                if require_seq and r.seq_incomplete:
-                    raise CramFormatError(_REQUIRE_SEQ_MSG)
-                if 0 <= r.rg < len(rg_ids) and not any(
-                        t == "RG" for t, _typ, _p2 in r.tags):
-                    r.tags.append(("RG", "Z",
-                                   rg_ids[r.rg].encode() + b"\x00"))
-                part += _bam_record_bytes(r)
-            chunks.append(bytes(part))
-        yield b"".join(chunks)
+            comp_block, q = read_block(raw, q)
+            if comp_block.content_type != CT_COMP_HEADER:
+                raise CramFormatError("Container missing compression header")
+            while q < end:
+                sh_block, q = read_block(raw, q)
+                if sh_block.content_type != CT_SLICE_HEADER:
+                    raise CramFormatError("Expected slice header block")
+                sl = parse_slice_header(sh_block.data)
+                core_data = b""
+                ext_items = []
+                for _ in range(sl.n_blocks):
+                    b, q = read_block(raw, q)
+                    if b.content_type == CT_CORE:
+                        core_data = b.data
+                    elif b.content_type == CT_EXTERNAL:
+                        ext_items.append((b.content_id, b.data))
+                yield comp_block, sh_block, sl, core_data, ext_items
+            pp = end
+
+    from ..prefetch import prefetch_iter
+
+    comp_cache = {}  # id(comp_block) -> parsed python header (fallback)
+    for comp_block, sh_block, sl, core_data, ext_items in \
+            prefetch_iter(slices()):
+        res = native.cram_decode_slice(comp_block.data, sh_block.data,
+                                       core_data, ext_items, rg_blob)
+        if res is not None:
+            bam_bytes, _nrec, incomplete = res
+            if require_seq and incomplete:
+                raise CramFormatError(_REQUIRE_SEQ_MSG)
+            yield bam_bytes
+            continue
+        # python fallback for this slice (identical record model)
+        comp = comp_cache.get(id(comp_block))
+        if comp is None:
+            comp = parse_compression_header(comp_block.data)
+            comp_cache = {id(comp_block): comp}
+        core = BitReader(core_data)
+        ext = {}
+        embedded_ref = None
+        for cid, data in ext_items:
+            if sl.embedded_ref_id >= 0 and cid == sl.embedded_ref_id:
+                embedded_ref = data
+            ext[cid] = _ExtStream(data)
+        recs = _decode_slice_records(comp, sl, core, ext,
+                                     embedded_ref=embedded_ref)
+        part = bytearray()
+        for r in recs:
+            if require_seq and r.seq_incomplete:
+                raise CramFormatError(_REQUIRE_SEQ_MSG)
+            if 0 <= r.rg < len(rg_ids) and not any(
+                    t == "RG" for t, _typ, _p2 in r.tags):
+                r.tags.append(("RG", "Z",
+                               rg_ids[r.rg].encode() + b"\x00"))
+            part += _bam_record_bytes(r)
+        yield bytes(part)
         p = end
 
 
