@@ -27,6 +27,79 @@
 #define HAVE_LIBDEFLATE 1
 #endif
 
+// Shared bounded aux-tag scanner: walks the aux region [aux, rec_len)
+// collecting NM (and AS when want_as).  Returns 0, or -1 on a malformed
+// / truncated tag.  *nm stays -1 when absent; *as_score stays
+// INT64_MIN.  Every fixed-size value read is bounds-checked against the
+// record (fuzz-hardening: a corrupt type byte must not read past it).
+static int scan_aux_tags(const uint8_t* rec, int64_t aux, int64_t rec_len,
+                         int64_t* nm, int64_t* as_score, bool want_as) {
+  *nm = -1;
+  *as_score = INT64_MIN;
+  if (aux < 0 || aux > rec_len) aux = rec_len;  // corrupt: no aux region
+  int found = 0, want = want_as ? 2 : 1;
+  while (aux + 3 <= rec_len && found < want) {
+    uint8_t t0 = rec[aux], t1 = rec[aux + 1], typ = rec[aux + 2];
+    aux += 3;
+    int64_t val = 0;
+    int has_val = 1;
+    switch (typ) {
+      case 'A':
+      case 'C':
+      case 'c': {
+        if (aux + 1 > rec_len) return -1;
+        val = typ == 'c' ? (int8_t)rec[aux] : rec[aux];
+        aux += 1;
+        break;
+      }
+      case 'S':
+      case 's': {
+        if (aux + 2 > rec_len) return -1;
+        uint16_t v = rec[aux] | (rec[aux + 1] << 8);
+        val = typ == 's' ? (int16_t)v : v;
+        aux += 2;
+        break;
+      }
+      case 'I': {
+        if (aux + 4 > rec_len) return -1;
+        uint32_t v; memcpy(&v, rec + aux, 4); val = v; aux += 4; break;
+      }
+      case 'i': {
+        if (aux + 4 > rec_len) return -1;
+        int32_t v; memcpy(&v, rec + aux, 4); val = v; aux += 4; break;
+      }
+      case 'f': aux += 4; has_val = 0; break;
+      case 'Z':
+      case 'H': {
+        while (aux < rec_len && rec[aux] != 0) aux++;
+        aux++;
+        has_val = 0;
+        break;
+      }
+      case 'B': {
+        if (aux + 5 > rec_len) return -1;
+        uint8_t sub = rec[aux];
+        uint32_t cnt; memcpy(&cnt, rec + aux + 1, 4);
+        int esz = (sub == 'c' || sub == 'C') ? 1
+                  : (sub == 's' || sub == 'S') ? 2 : 4;
+        aux += 5 + (int64_t)cnt * esz;
+        has_val = 0;
+        break;
+      }
+      default:
+        return -1;  // malformed
+    }
+    if (has_val) {
+      if (t0 == 'N' && t1 == 'M') { *nm = val; found++; }
+      else if (want_as && t0 == 'A' && t1 == 'S') { *as_score = val; found++; }
+    }
+  }
+  return 0;
+}
+
+static int scan_aux_tags(const uint8_t* rec, int64_t aux, int64_t rec_len,
+                         int64_t* nm, int64_t* as_score, bool want_as);
+
 extern "C" {
 
 // ---------------------------------------------------------------- BGZF ----
@@ -208,65 +281,9 @@ int64_t ct_scan_records(const uint8_t* data, int64_t len, int64_t start,
     qname_hash[r] = h;
 
     int64_t aux = 32 + l_read_name + 4LL * n_cigar + (l_seq + 1) / 2 + l_seq;
-    if (aux < 0 || aux > rec_len) aux = rec_len;  // corrupt: no aux
-    int64_t nm_v = -1, as_v = AS_MISSING;
-    int found = 0;
-    while (aux + 3 <= rec_len && found < 2) {
-      uint8_t t0 = rec[aux], t1 = rec[aux + 1], typ = rec[aux + 2];
-      aux += 3;
-      int64_t val = 0;
-      int has_val = 1;
-      switch (typ) {
-        case 'A':
-        case 'C':
-        case 'c': {
-          if (aux + 1 > rec_len) return -(r + 1);
-          val = typ == 'c' ? (int8_t)rec[aux] : rec[aux];
-          aux += 1;
-          break;
-        }
-        case 'S':
-        case 's': {
-          if (aux + 2 > rec_len) return -(r + 1);
-          uint16_t v16 = rec[aux] | (rec[aux + 1] << 8);
-          val = typ == 's' ? (int16_t)v16 : v16;
-          aux += 2;
-          break;
-        }
-        case 'I': {
-          if (aux + 4 > rec_len) return -(r + 1);
-          uint32_t v; memcpy(&v, rec + aux, 4); val = v; aux += 4; break;
-        }
-        case 'i': {
-          if (aux + 4 > rec_len) return -(r + 1);
-          int32_t v; memcpy(&v, rec + aux, 4); val = v; aux += 4; break;
-        }
-        case 'f': aux += 4; has_val = 0; break;
-        case 'Z':
-        case 'H': {
-          while (aux < rec_len && rec[aux] != 0) aux++;
-          aux++;
-          has_val = 0;
-          break;
-        }
-        case 'B': {
-          if (aux + 5 > rec_len) return -(r + 1);
-          uint8_t sub = rec[aux];
-          uint32_t cnt; memcpy(&cnt, rec + aux + 1, 4);
-          int esz = (sub == 'c' || sub == 'C') ? 1
-                    : (sub == 's' || sub == 'S') ? 2 : 4;
-          aux += 5 + (int64_t)cnt * esz;
-          has_val = 0;
-          break;
-        }
-        default:
-          return -(r + 1);
-      }
-      if (has_val) {
-        if (t0 == 'N' && t1 == 'M') { nm_v = val; found++; }
-        else if (t0 == 'A' && t1 == 'S') { as_v = val; found++; }
-      }
-    }
+    int64_t nm_v, as_v;
+    if (scan_aux_tags(rec, aux, rec_len, &nm_v, &as_v, true) != 0)
+      return -(r + 1);
     nm[r] = nm_v;
     as_score[r] = as_v;
     pos += 4 + (int64_t)bs;
@@ -410,67 +427,12 @@ int ct_parse_phase2(const uint8_t* data, int64_t n, const int64_t* rec_off,
         indels[r] = ind;
         read_end[r] = (int32_t)cursor;
 
-        // aux scan: NM + AS
+        // aux scan: NM + AS (shared bounded scanner)
         int64_t aux = 32 + l_read_name + 4LL * n_cigar + (l_seq + 1) / 2 + l_seq;
-        if (aux < 0 || aux > rec_len) aux = rec_len;  // corrupt: no aux
-        int64_t nm_v = -1, as_v = AS_MISSING;
-        int found = 0;
-        while (aux + 3 <= rec_len && found < 2) {
-          uint8_t t0 = rec[aux], t1 = rec[aux + 1], typ = rec[aux + 2];
-          aux += 3;
-          int64_t val = 0;
-          int has_val = 1;
-          switch (typ) {
-            case 'A':
-            case 'C':
-            case 'c': {
-              if (aux + 1 > rec_len) { err.store(r + 1); return; }
-              val = typ == 'c' ? (int8_t)rec[aux] : rec[aux];
-              aux += 1;
-              break;
-            }
-            case 'S':
-            case 's': {
-              if (aux + 2 > rec_len) { err.store(r + 1); return; }
-              uint16_t v16 = rec[aux] | (rec[aux + 1] << 8);
-              val = typ == 's' ? (int16_t)v16 : v16;
-              aux += 2;
-              break;
-            }
-            case 'I': {
-              if (aux + 4 > rec_len) { err.store(r + 1); return; }
-              uint32_t v; memcpy(&v, rec + aux, 4); val = v; aux += 4; break;
-            }
-            case 'i': {
-              if (aux + 4 > rec_len) { err.store(r + 1); return; }
-              int32_t v; memcpy(&v, rec + aux, 4); val = v; aux += 4; break;
-            }
-            case 'f': aux += 4; has_val = 0; break;
-            case 'Z':
-            case 'H': {
-              while (aux < rec_len && rec[aux] != 0) aux++;
-              aux++;
-              has_val = 0;
-              break;
-            }
-            case 'B': {
-              if (aux + 5 > rec_len) { err.store(r + 1); return; }
-              uint8_t sub = rec[aux];
-              uint32_t cnt; memcpy(&cnt, rec + aux + 1, 4);
-              int esz = (sub == 'c' || sub == 'C') ? 1
-                        : (sub == 's' || sub == 'S') ? 2 : 4;
-              aux += 5 + (int64_t)cnt * esz;
-              has_val = 0;
-              break;
-            }
-            default:
-              err.store(r + 1);
-              return;
-          }
-          if (has_val) {
-            if (t0 == 'N' && t1 == 'M') { nm_v = val; found++; }
-            else if (t0 == 'A' && t1 == 'S') { as_v = val; found++; }
-          }
+        int64_t nm_v, as_v;
+        if (scan_aux_tags(rec, aux, rec_len, &nm_v, &as_v, true) != 0) {
+          err.store(r + 1);
+          return;
         }
         nm[r] = nm_v;
         as_score[r] = as_v;
@@ -716,64 +678,6 @@ struct StatsScanState {
   int64_t buf_len = 0;
 };
 
-// Scan NM from the aux region; returns INT64_MIN on "not found",
-// -(byte offset)-2 on malformed tag type.  Stops as soon as NM is seen.
-inline int64_t scan_nm_only(const uint8_t* rec, int64_t aux, int64_t rec_len) {
-  while (aux + 3 <= rec_len) {
-    uint8_t t0 = rec[aux], t1 = rec[aux + 1], typ = rec[aux + 2];
-    aux += 3;
-    int64_t val = 0;
-    int has_val = 1;
-    switch (typ) {
-      case 'A':
-      case 'C':
-      case 'c': {
-        if (aux + 1 > rec_len) return INT64_MIN + 1;
-        val = typ == 'c' ? (int8_t)rec[aux] : rec[aux];
-        aux += 1;
-        break;
-      }
-      case 'S':
-      case 's': {
-        if (aux + 2 > rec_len) return INT64_MIN + 1;
-        uint16_t v = rec[aux] | (rec[aux + 1] << 8);
-        val = typ == 's' ? (int16_t)v : v;
-        aux += 2;
-        break;
-      }
-      case 'I': {
-        if (aux + 4 > rec_len) return INT64_MIN + 1;
-        uint32_t v; memcpy(&v, rec + aux, 4); val = v; aux += 4; break;
-      }
-      case 'i': {
-        if (aux + 4 > rec_len) return INT64_MIN + 1;
-        int32_t v; memcpy(&v, rec + aux, 4); val = v; aux += 4; break;
-      }
-      case 'f': aux += 4; has_val = 0; break;
-      case 'Z':
-      case 'H': {
-        while (aux < rec_len && rec[aux] != 0) aux++;
-        aux++;
-        has_val = 0;
-        break;
-      }
-      case 'B': {
-        if (aux + 5 > rec_len) return INT64_MIN + 1;
-        uint8_t sub = rec[aux];
-        uint32_t cnt; memcpy(&cnt, rec + aux + 1, 4);
-        int esz = (sub == 'c' || sub == 'C') ? 1
-                  : (sub == 's' || sub == 'S') ? 2 : 4;
-        aux += 5 + (int64_t)cnt * esz;
-        has_val = 0;
-        break;
-      }
-      default:
-        return INT64_MIN + 1;  // malformed
-    }
-    if (has_val && t0 == 'N' && t1 == 'M') return val;
-  }
-  return INT64_MIN;  // absent
-}
 
 }  // namespace
 
@@ -882,15 +786,14 @@ void scan_chunk_records(const uint8_t* data, int64_t pos, int64_t count,
     int32_t l_seq;
     memcpy(&l_seq, rec + 16, 4);
     int64_t aux = 32 + l_read_name + 4ll * n_cigar + (l_seq + 1) / 2 + l_seq;
-    if (aux < 0 || aux > rec_len) aux = rec_len;  // corrupt: no aux region
-    int64_t nm = scan_nm_only(rec, aux, rec_len);
-    if (nm == INT64_MIN + 1) {
+    int64_t nm, as_unused;
+    if (scan_aux_tags(rec, aux, rec_len, &nm, &as_unused, false) != 0) {
       out.err = r + 1;
       flush();
       return;
     }
     run.indel_sum += ind;
-    if (nm == INT64_MIN) {
+    if (nm < 0) {
       out.nm_missing++;  // the caller raises before any result is used
     } else {
       run.nm_sum += nm;
