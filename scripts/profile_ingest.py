@@ -33,6 +33,30 @@ def t(label, fn, reps=3):
     return out, best
 
 
+def fused_profile():
+    """Round-4 fused path: one-call native ingest per segment."""
+    from coverm_tpu.io import native
+    from coverm_tpu.io.fastscan import FusedScanStream
+
+    t0 = time.time()
+    s = FusedScanStream(BAM)
+    h = s.open()
+    mm, off, csz, usz, carry, j = s._plan
+    stats = native.StatsAccum(h.n_ref)
+    cum = np.cumsum(usz)
+    n, i = off.size, j
+    while i < n:
+        base = int(cum[i - 1]) if i else 0
+        k = min(max(int(np.searchsorted(cum, base + s.target_bytes)) + 1,
+                    i + 1), n)
+        _bt, _bs, _be, _cnt, carry = native.ingest_scan(
+            mm, off[i:k], csz[i:k], usz[i:k], carry, 0, stats, 0x100, 0)
+        i = k
+    dt = time.time() - t0
+    print(f"{'fused one-call ingest':26s} {dt:7.3f}s "
+          f"({stats.n_records / dt / 1e6:.2f}M rec/s)")
+
+
 def main():
     from coverm_tpu.io import native
     from coverm_tpu.io.bam import BamStreamReader, parse_records, _parse_header
@@ -107,6 +131,7 @@ def main():
         return tot
 
     t("stream (inflate+parse)", stream, reps=3)
+    fused_profile()
 
 
 if __name__ == "__main__":
