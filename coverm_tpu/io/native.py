@@ -426,7 +426,9 @@ def ingest_scan(comp: np.ndarray, off, csz, usz, carry, start: int,
     csz = np.ascontiguousarray(csz)
     usz = np.ascontiguousarray(usz)
     if n_threads <= 0:
-        n_threads = min(os.cpu_count() or 1, 8)
+        # one worker beyond the core count fills the bubbles left by
+        # the chain walker's frontier waits (measured ~10% on 2 vCPUs)
+        n_threads = min((os.cpu_count() or 1) + 1, 8)
     scalars = np.zeros(11, np.int64)
     h = lib.ct_ingest_scan(_u8p(comp), off.size, _i64p(off), _i64p(csz),
                            _i64p(usz), _u8p(carry), carry.size, start,
