@@ -1505,7 +1505,7 @@ def _iter_bam_segments_native(raw, require_seq: bool):
 
     from ..prefetch import prefetch_iter
 
-    comp_cache = {}  # id(comp_block) -> parsed python header (fallback)
+    comp_cache = (None, None)  # (comp_block, parsed header) for fallback
     for comp_block, sh_block, sl, core_data, ext_items in \
             prefetch_iter(slices()):
         res = native.cram_decode_slice(comp_block.data, sh_block.data,
@@ -1516,11 +1516,12 @@ def _iter_bam_segments_native(raw, require_seq: bool):
                 raise CramFormatError(_REQUIRE_SEQ_MSG)
             yield bam_bytes
             continue
-        # python fallback for this slice (identical record model)
-        comp = comp_cache.get(id(comp_block))
+        # python fallback for this slice (identical record model); the
+        # cache holds the block object itself so identity stays valid
+        comp = comp_cache[1] if comp_cache[0] is comp_block else None
         if comp is None:
             comp = parse_compression_header(comp_block.data)
-            comp_cache = {id(comp_block): comp}
+            comp_cache = (comp_block, comp)
         core = BitReader(core_data)
         ext = {}
         embedded_ref = None
