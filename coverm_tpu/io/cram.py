@@ -756,19 +756,7 @@ class Block:
         self.data = data  # uncompressed
 
 
-def read_block(buf: bytes, p: int) -> tuple:
-    method = buf[p]
-    ctype = buf[p + 1]
-    p += 2
-    cid, p = read_itf8(buf, p)
-    csize, p = read_itf8(buf, p)
-    rsize, p = read_itf8(buf, p)
-    raw = buf[p:p + csize]
-    p += csize
-    crc = struct.unpack_from("<I", buf, p)[0]
-    p += 4
-    # crc covers the block from method byte through compressed data;
-    # recompute lazily only when it matters? cheap enough to verify
+def _decompress_block(method: int, raw, rsize: int):
     if method == M_RAW:
         data = raw
     elif method == M_GZIP:
@@ -784,8 +772,26 @@ def read_block(buf: bytes, p: int) -> tuple:
     if len(data) != rsize:
         raise CramFormatError(
             f"Block raw size mismatch: {len(data)} != {rsize}")
-    del crc  # tolerated: some writers emit zero CRCs
-    return Block(method, ctype, cid, data), p
+    return data
+
+
+def read_block_raw(buf: bytes, p: int) -> tuple:
+    """Block header walk WITHOUT decompression:
+    (method, ctype, cid, raw, rsize, end_p)."""
+    method = buf[p]
+    ctype = buf[p + 1]
+    p += 2
+    cid, p = read_itf8(buf, p)
+    csize, p = read_itf8(buf, p)
+    rsize, p = read_itf8(buf, p)
+    raw = buf[p:p + csize]
+    p += csize + 4  # + crc32 tail (tolerated: some writers emit zeros)
+    return method, ctype, cid, raw, rsize, p
+
+
+def read_block(buf: bytes, p: int) -> tuple:
+    method, ctype, cid, raw, rsize, p = read_block_raw(buf, p)
+    return Block(method, ctype, cid, _decompress_block(method, raw, rsize)), p
 
 
 def write_block(method: int, content_type: int, content_id: int,
@@ -1492,14 +1498,30 @@ def _iter_bam_segments_native(raw, require_seq: bool):
                 if sh_block.content_type != CT_SLICE_HEADER:
                     raise CramFormatError("Expected slice header block")
                 sl = parse_slice_header(sh_block.data)
+                hdrs = []
+                for _ in range(sl.n_blocks):
+                    m, ct, cid, rw, rs, q = read_block_raw(raw, q)
+                    hdrs.append([m, ct, cid, rw, rs, None])
+                # threaded batch decode of the slice's rANS blocks;
+                # on any failure fall through to per-block decode for
+                # full error context
+                ridx = [k for k, h in enumerate(hdrs) if h[0] == M_RANS]
+                if len(ridx) > 1:
+                    outs = native.rans_decode_batch(
+                        [hdrs[k][3] for k in ridx],
+                        [hdrs[k][4] for k in ridx])
+                    if outs is not None:
+                        for k, d in zip(ridx, outs):
+                            hdrs[k][5] = d
                 core_data = b""
                 ext_items = []
-                for _ in range(sl.n_blocks):
-                    b, q = read_block(raw, q)
-                    if b.content_type == CT_CORE:
-                        core_data = b.data
-                    elif b.content_type == CT_EXTERNAL:
-                        ext_items.append((b.content_id, b.data))
+                for m, ct, cid, rw, rs, d in hdrs:
+                    if d is None:
+                        d = _decompress_block(m, rw, rs)
+                    if ct == CT_CORE:
+                        core_data = d
+                    elif ct == CT_EXTERNAL:
+                        ext_items.append((cid, d))
                 yield comp_block, sh_block, sl, core_data, ext_items
             pp = end
 

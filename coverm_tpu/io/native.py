@@ -78,6 +78,10 @@ def get_lib():
         try:
             lib.ct_rans_decode.restype = c_i64
             lib.ct_rans_decode.argtypes = [c_u8p, c_i64, c_u8p, c_i64]
+            lib.ct_rans_decode_batch.restype = c_i64
+            lib.ct_rans_decode_batch.argtypes = [c_u8p, c_i64p, c_u8p,
+                                                 c_i64p, c_i64,
+                                                 ctypes.c_int32]
         except AttributeError:
             pass
         try:
@@ -501,6 +505,29 @@ def cram_decode_slice(comp_hdr, slice_hdr, core, ext_items, rg_blob):
     finally:
         lib.ct_cram_free(h)
     return out.tobytes(), int(scalars[0]), int(scalars[3])
+
+
+def rans_decode_batch(blobs, out_sizes) -> list | None:
+    """Threaded decode of independent rANS blocks -> list of bytes, or
+    None (unavailable / any block malformed -> caller decodes blocks
+    one by one with full error context)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ct_rans_decode_batch"):
+        return None
+    n = len(blobs)
+    in_off = np.zeros(n + 1, np.int64)
+    np.cumsum([len(b) for b in blobs], out=in_off[1:])
+    out_off = np.zeros(n + 1, np.int64)
+    np.cumsum(out_sizes, out=out_off[1:])
+    in_buf = _as_u8(b"".join(bytes(b) for b in blobs))
+    out = np.empty(max(int(out_off[-1]), 1), np.uint8)
+    nt = min((os.cpu_count() or 1) + 1, 8)
+    rc = lib.ct_rans_decode_batch(_u8p(in_buf), _i64p(in_off), _u8p(out),
+                                  _i64p(out_off), n, nt)
+    if rc != 0:
+        return None
+    buf = out.tobytes()
+    return [buf[int(out_off[k]):int(out_off[k + 1])] for k in range(n)]
 
 
 def rans_decode(blob) -> bytes | None:

@@ -1133,3 +1133,32 @@ void ct_stats_free(void* handle) {
 }
 
 }  // extern "C"
+
+// Threaded batch rANS 4x8 decode: n independent blocks (each with the
+// 9-byte rANS header) decoded in parallel.  in_off/out_off are n+1
+// prefix arrays into in/out.  Returns 0, or (block index+1) of the
+// first failure.
+extern "C" int64_t ct_rans_decode_batch(const uint8_t* in,
+                                        const int64_t* in_off, uint8_t* out,
+                                        const int64_t* out_off, int64_t n,
+                                        int32_t n_threads) {
+  std::atomic<int64_t> next(0);
+  std::atomic<int64_t> err(0);
+  auto worker = [&]() {
+    while (true) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n || err.load()) return;
+      int64_t in_len = in_off[i + 1] - in_off[i];
+      int64_t out_len = out_off[i + 1] - out_off[i];
+      int64_t r = ct_rans_decode(in + in_off[i], in_len, out + out_off[i],
+                                 out_len);
+      if (r != out_len) err.store(i + 1);
+    }
+  };
+  int nt = n_threads < 1 ? 1 : n_threads;
+  std::vector<std::thread> pool;
+  for (int t = 1; t < nt; t++) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  return err.load();
+}
