@@ -1563,7 +1563,6 @@ def _iter_bam_segments_native(raw, require_seq: bool):
                                rg_ids[r.rg].encode() + b"\x00"))
             part += _bam_record_bytes(r)
         yield bytes(part)
-        p = end
 
 
 def iter_bam_segments(raw: bytes, require_seq: bool = False):
@@ -1593,23 +1592,13 @@ def iter_bam_segments(raw: bytes, require_seq: bool = False):
     rg_ids = []
     for sam_text, records in iter_cram_containers(raw):
         if sam_text is not None:
-            for line in sam_text.splitlines():
-                if line.startswith("@RG"):
-                    for f in line.split("\t")[1:]:
-                        if f.startswith("ID:"):
-                            rg_ids.append(f[3:])
-                            break
+            rg_ids.extend(_rg_ids_of(sam_text))
             yield bam_header_bytes_from_sam_text(sam_text)
             continue
         chunk = bytearray()
         for r in records:
             if require_seq and r.seq_incomplete:
-                raise CramFormatError(
-                    "CRAM slice stores read bases against a reference "
-                    "but carries no embedded reference, so sequences "
-                    "cannot be reconstructed for BAM output. Re-encode "
-                    "with the reference available, e.g.: samtools view "
-                    "-b -T ref.fna in.cram > in.bam")
+                raise CramFormatError(_REQUIRE_SEQ_MSG)
             if 0 <= r.rg < len(rg_ids) and not any(
                     t == "RG" for t, _typ, _p in r.tags):
                 # htslib reconstructs RG:Z from the read-group index

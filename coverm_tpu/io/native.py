@@ -420,8 +420,9 @@ def ingest_scan(comp: np.ndarray, off, csz, usz, carry, start: int,
     """Fully fused segment ingest: threaded BGZF inflate + frontier-
     chasing chain walk + stats/block scan in one native call.
 
-    Returns (btid, bstart, bend, leftover_bytes) or None when the entry
-    points are unavailable; raises ValueError on malformed input."""
+    Returns (btid, bstart, bend, seg_counts, leftover_bytes) or None
+    when the entry points are unavailable; raises ValueError on
+    malformed input."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "ct_ingest_scan"):
         return None

@@ -505,6 +505,9 @@ struct SliceDecoder {
   void decode_records(std::vector<Rec>& recs) {
     build_sub_table(h.sub_matrix, sub);
     int64_t last_pos = sl.start;
+    // corrupt slice headers must not allocate gigabytes (the python
+    // decoder bounds RL/FN identically)
+    if (sl.n_records < 0 || sl.n_records > (1 << 24)) throw DecodeError{};
     recs.resize((size_t)sl.n_records);
     std::string tmp;
     for (int64_t i = 0; i < sl.n_records; i++) {

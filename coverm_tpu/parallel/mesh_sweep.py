@@ -111,22 +111,35 @@ def split_heavy_contigs(tids, starts, ends, n_shards,
         return tids, starts, ends, None, None, np.empty(0, np.int64)
 
     bounds = np.concatenate(([0], np.cumsum(counts)))
+    # Python loops run only over the handful of HEAVY contigs; runs of
+    # non-heavy contigs between them pass through as whole slices with
+    # vectorised piece ids (assembly-scale: 100k+ contigs, few heavy)
     out_t, out_s, out_e, out_p = [], [], [], []
     piece_counts = []
     next_piece = 0
-    for c in range(counts.shape[0]):
-        lo, hi = int(bounds[c]), int(bounds[c + 1])
+
+    def passthrough(c_lo, c_hi):
+        """Contigs [c_lo, c_hi) unsplit: one piece per non-empty contig."""
+        nonlocal next_piece
+        lo, hi = int(bounds[c_lo]), int(bounds[c_hi])
         if hi == lo:
-            continue
+            return
+        sub_counts = counts[c_lo:c_hi]
+        nz = sub_counts[sub_counts > 0]
+        pid = np.repeat(np.arange(nz.size, dtype=np.int64) + next_piece, nz)
+        out_t.append(tids[lo:hi])
+        out_s.append(starts[lo:hi])
+        out_e.append(ends[lo:hi])
+        out_p.append(pid)
+        piece_counts.extend(nz.tolist())
+        next_piece += nz.size
+
+    prev = 0
+    for c in heavy.tolist():
+        passthrough(prev, c)
+        prev = c + 1
+        lo, hi = int(bounds[c]), int(bounds[c + 1])
         ct, cs, ce = tids[lo:hi], starts[lo:hi], ends[lo:hi]
-        if c not in heavy:
-            out_t.append(ct)
-            out_s.append(cs)
-            out_e.append(ce)
-            out_p.append(np.full(hi - lo, next_piece, np.int64))
-            piece_counts.append(hi - lo)
-            next_piece += 1
-            continue
         k = min(int(-(-counts[c] // target)), n_shards)
         # position boundaries at block-start quantiles (starts are
         # nondecreasing within a contig: BAM coordinate order)
@@ -146,6 +159,7 @@ def split_heavy_contigs(tids, starts, ends, n_shards,
             out_p.append(np.full(ps.size, next_piece, np.int64))
             piece_counts.append(ps.size)
             next_piece += 1
+    passthrough(prev, counts.shape[0])
     return (np.concatenate(out_t), np.concatenate(out_s),
             np.concatenate(out_e), np.concatenate(out_p),
             np.asarray(piece_counts, np.int64), heavy.astype(np.int64))
