@@ -1293,9 +1293,15 @@ def _bam_record_bytes(r: _CramRecord) -> bytes:
     pos0 = r.pos - 1
     mate_pos0 = r.mate_pos - 1 if r.mate_pos > 0 else -1
     out = bytearray()
-    out += struct.pack("<iiBBHHHiiii", r.tid, pos0, len(name_b),
-                       r.mapq, 4680, len(r.cigar), r.flag & 0xFFFF,
-                       r.rl, r.mate_tid, mate_pos0, r.tlen)
+    try:
+        out += struct.pack("<iiBBHHHiiii", r.tid, pos0, len(name_b),
+                           r.mapq, 4680, len(r.cigar), r.flag & 0xFFFF,
+                           r.rl, r.mate_tid, mate_pos0, r.tlen)
+    except struct.error as e:
+        # corrupt AP deltas / TLEN spans can exceed BAM's int32 fields;
+        # surface as a format error, not a raw struct.error
+        raise CramFormatError(
+            f"CRAM record coordinates exceed BAM int32 range ({e})")
     out += name_b
     for op, ln in r.cigar:
         out += struct.pack("<I", (ln << 4) | op)

@@ -780,6 +780,12 @@ static void init_seq_nyb() {
 
 static void emit_record(const Rec& r, const std::vector<std::string>& rgs,
                         std::vector<uint8_t>& out) {
+  // BAM int32 field bounds: corrupt AP deltas / TLEN spans must reject
+  // (matching the python decoder's CramFormatError), not wrap silently
+  if (r.pos - 1 < INT32_MIN || r.pos - 1 > INT32_MAX ||
+      r.mate_pos - 1 > INT32_MAX || r.tlen < INT32_MIN ||
+      r.tlen > INT32_MAX)
+    throw DecodeError{};
   size_t name_n = r.name.size() + 1;
   size_t ncig = r.cigar.size();
   size_t seq_b = ((size_t)r.rl + 1) / 2;
