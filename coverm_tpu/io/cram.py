@@ -762,9 +762,19 @@ def _decompress_block(method: int, raw, rsize: int):
     elif method == M_GZIP:
         data = zlib.decompress(raw, wbits=31)
     elif method == M_BZIP2:
-        data = bz2.decompress(raw)
+        # bz2 raises OSError on corrupt payloads; wrap it HERE so the
+        # outer container handlers need not catch OSError at all (a
+        # genuine I/O failure, e.g. an mmap read fault, must surface as
+        # itself, not as "corrupt CRAM file")
+        try:
+            data = bz2.decompress(raw)
+        except (OSError, ValueError) as e:
+            raise CramFormatError(f"Corrupt bzip2 block payload ({e})")
     elif method == M_LZMA:
-        data = lzma.decompress(raw)
+        try:
+            data = lzma.decompress(raw)
+        except lzma.LZMAError as e:
+            raise CramFormatError(f"Corrupt lzma block payload ({e})")
     elif method == M_RANS:
         data = rans_decompress(raw)
     else:
@@ -1328,12 +1338,13 @@ def iter_cram_containers(raw: bytes):
     try:
         yield from _iter_cram_containers(raw)
     except (IndexError, struct.error, zlib.error, EOFError, KeyError,
-            ValueError, UnicodeDecodeError, lzma.LZMAError, OSError) as e:
+            ValueError, UnicodeDecodeError) as e:
         # KeyError: a referenced data series / tag codec missing from the
         # compression header; ValueError: a BYTE_ARRAY_STOP terminator
-        # missing (bytes.index); UnicodeDecodeError: non-UTF8 SAM header;
-        # LZMAError/OSError: corrupt lzma/bzip2 block payloads — all must
-        # surface through the CLI's fail-fast `Error:` path
+        # missing (bytes.index); UnicodeDecodeError: non-UTF8 SAM header
+        # — all must surface through the CLI's fail-fast `Error:` path.
+        # Corrupt bzip2/lzma payloads are wrapped to CramFormatError in
+        # _decompress_block; real OSErrors (mmap faults) propagate.
         raise CramFormatError(
             f"Truncated or corrupt CRAM file ({e}); if the file is a "
             "newer CRAM minor version re-encode it, e.g.: samtools view "
@@ -1588,8 +1599,7 @@ def iter_bam_segments(raw: bytes, require_seq: bool = False):
         try:
             yield from _iter_bam_segments_native(raw, require_seq)
         except (IndexError, struct.error, zlib.error, EOFError, KeyError,
-                ValueError, UnicodeDecodeError, lzma.LZMAError,
-                OSError) as e:
+                ValueError, UnicodeDecodeError) as e:
             raise CramFormatError(
                 f"Truncated or corrupt CRAM file ({e}); if the file is a "
                 "newer CRAM minor version re-encode it, e.g.: samtools view "

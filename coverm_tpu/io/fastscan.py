@@ -45,6 +45,20 @@ from .bam import (BamFormatError, BamStreamReader, TruncatedHeaderError,
 _HEADROOM = 64 << 20
 
 
+def _check_stuck_carry(carry) -> None:
+    """A mid-stream zero block_size stalls the record chain forever: the
+    native walk treats bs==0 as end-of-stream (classic-reader parity),
+    so in a streaming ingest every later segment would pile up behind
+    the stuck record — O(file) carry RSS followed by a silent tail drop
+    (ADVICE r4).  A carry whose head record has bs==0 AND trailing bytes
+    behind it can never make progress; fail loudly.  A bare 4-zero-byte
+    tail at EOF stays accepted, matching the classic reader."""
+    if carry is not None and len(carry) > 4 and \
+            bytes(memoryview(carry)[:4]) == b"\x00\x00\x00\x00":
+        raise ValueError(
+            "Malformed BAM record (zero block_size mid-stream)")
+
+
 def fused_available() -> bool:
     if os.environ.get("COVERM_TPU_FUSED", "1") == "0":
         return False
@@ -252,9 +266,12 @@ def scan_sample_fused(header, stream: FusedScanStream, layout, flag_filter,
         """Yield (btid, bstart, bend) per segment, updating `stats`."""
         if getattr(stream, "_plan", None) is not None:
             # one-call fused ingest per raw block-table group: inflate,
-            # chain and scan overlap inside the native call; the carry
-            # (incomplete tail record) threads through natively
-            mm, off, csz, usz, carry, j = stream._plan
+            # chain and scan overlap inside the native call; the
+            # raw_carry (incomplete tail record bytes) threads through
+            # natively.  NOTE: distinct from the ingest loop's outer
+            # `carry` (the open contig's BLOCK chunks) — renamed so the
+            # two can never be conflated (ADVICE r4).
+            mm, off, csz, usz, raw_carry, j = stream._plan
             cum = np.cumsum(usz)
             n = off.size
             i = n if j >= n else j
@@ -263,17 +280,18 @@ def scan_sample_fused(header, stream: FusedScanStream, layout, flag_filter,
                 k = int(np.searchsorted(cum, base + stream.target_bytes)) + 1
                 k = min(max(k, i + 1), n)
                 res = native.ingest_scan(mm, off[i:k], csz[i:k], usz[i:k],
-                                         carry, 0, stats, skip_mask,
+                                         raw_carry, 0, stats, skip_mask,
                                          req_mask)
                 if res is None:
                     raise RuntimeError("native fused ingest unavailable")
-                bt, bs, be, seg_counts, carry = res
+                bt, bs, be, seg_counts, raw_carry = res
+                _check_stuck_carry(raw_carry)
                 yield bt, bs, be, seg_counts
                 i = k
-            if carry is not None and len(carry):
+            if raw_carry is not None and len(raw_carry):
                 # trailing bytes (or a header-probe remainder when the
                 # whole file fit in the probe): scan them directly
-                res = native.stats_scan(np.ascontiguousarray(carry), 0,
+                res = native.stats_scan(np.ascontiguousarray(raw_carry), 0,
                                         stats, skip_mask, req_mask)
                 if res is not None and res[0].size:
                     yield res[0], res[1], res[2], res[3]
@@ -294,6 +312,7 @@ def scan_sample_fused(header, stream: FusedScanStream, layout, flag_filter,
                 raise RuntimeError("native fused scan unavailable")
             bt, bs, be, seg_counts, end_off = res
             leftover = out[end_off:hi]
+            _check_stuck_carry(leftover)
             yield bt, bs, be, seg_counts
 
     def iter_segments():

@@ -788,6 +788,13 @@ static void emit_record(const Rec& r, const std::vector<std::string>& rgs,
     throw DecodeError{};
   size_t name_n = r.name.size() + 1;
   size_t ncig = r.cigar.size();
+  // BAM narrow-field bounds: l_read_name is u8, n_cigar u16, mapq u8.
+  // Silently wrapping them would emit a record whose block_size counts
+  // the full name/cigar but whose length fields truncate — downstream
+  // walks would misread offsets (ADVICE r4).  Reject so the slice falls
+  // back to the python decoder, which raises CramFormatError loudly.
+  if (name_n > 255 || ncig > 65535 || r.mapq < 0 || r.mapq > 255)
+    throw DecodeError{};
   size_t seq_b = ((size_t)r.rl + 1) / 2;
   size_t rg_extra = 0;
   std::string rg_id;
