@@ -464,8 +464,16 @@ def main():
     # are charged to warmup_s either way
     deadline = time.time() + float(os.environ.get(
         "COVERM_TPU_PREWARM_TIMEOUT_S", 600))
-    for t in threads:
-        t.join(timeout=max(0.0, deadline - time.time()))
+    # Block only on the LARGEST kernel: once it is live, the shape-reuse
+    # registry (ops/sweep._pick_shape) serves every smaller batch on it
+    # while the remaining compiles land in the background — first-result
+    # latency is ONE executable load, not one per shape (r5 measured
+    # 167-387 s PER cache-hit load on a degraded compile service).
+    threads.sort(key=lambda t: -t.sig[0])
+    threads[0].join(timeout=max(0.0, deadline - time.time()))
+    grace = time.time() + min(20.0, max(0.0, deadline - time.time()))
+    for t in threads[1:]:
+        t.join(timeout=max(0.0, grace - time.time()))
     stragglers = [t for t in threads if t.is_alive()]
     prewarm_join_s = time.time() - t_warm0
     log(f"prewarm joined at +{prewarm_join_s:.1f}s"

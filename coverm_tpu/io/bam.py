@@ -345,6 +345,18 @@ def parse_bam_data_raw(data: bytes) -> tuple:
     return header, batch
 
 
+def check_stuck_zero(buf, end_off: int) -> None:
+    """A mid-stream zero block_size stalls the record chain forever: the
+    walk treats bs==0 as end-of-stream, so a streaming reader would pile
+    every later segment behind the stuck record — O(file) carry RSS and
+    a silent tail drop (ADVICE r4).  Raise when bytes FOLLOW the zero
+    field; a bare 4-zero tail at end-of-stream stays accepted."""
+    if end_off + 4 < len(buf) and \
+            bytes(memoryview(buf)[end_off:end_off + 4]) == b"\x00\x00\x00\x00":
+        raise BamFormatError(
+            "Malformed BAM record (zero block_size mid-stream)")
+
+
 def parse_records(data: bytes, start: int, end: int | None = None) -> tuple:
     """Decode the COMPLETE records in data[start:end) -> (RecordBatch,
     end_offset). Records straddling `end` are left for the caller's next
@@ -598,6 +610,7 @@ class BamStreamReader:
                     continue
                 yield self.header
             batch, end_off = parse_records(buf, start)
+            check_stuck_zero(buf, end_off)
             if batch.n_records == 0:
                 carry = buf[end_off:]
                 continue
@@ -619,9 +632,11 @@ class BamStreamReader:
             self.header, start = _parse_header(carry)
             yield self.header
             carry = carry[start:] if start else carry
-            batch, _ = parse_records(carry, 0) if len(carry) else (None, 0)
+            batch, e2 = parse_records(carry, 0) if len(carry) else (None, 0)
+            check_stuck_zero(carry, e2)
         elif len(carry):
-            batch, _ = parse_records(carry, 0)
+            batch, e2 = parse_records(carry, 0)
+            check_stuck_zero(carry, e2)
         else:
             batch = None
         if batch is not None and batch.n_records:

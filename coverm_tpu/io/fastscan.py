@@ -37,7 +37,7 @@ import numpy as np
 
 from . import native
 from .bam import (BamFormatError, BamStreamReader, TruncatedHeaderError,
-                  _parse_header)
+                  _parse_header, check_stuck_zero)
 
 # Virtual headroom ahead of each segment's inflate output for the
 # straddling-record carry (np.empty leaves it unmapped until touched, so
@@ -46,17 +46,13 @@ _HEADROOM = 64 << 20
 
 
 def _check_stuck_carry(carry) -> None:
-    """A mid-stream zero block_size stalls the record chain forever: the
-    native walk treats bs==0 as end-of-stream (classic-reader parity),
-    so in a streaming ingest every later segment would pile up behind
-    the stuck record — O(file) carry RSS followed by a silent tail drop
-    (ADVICE r4).  A carry whose head record has bs==0 AND trailing bytes
-    behind it can never make progress; fail loudly.  A bare 4-zero-byte
-    tail at EOF stays accepted, matching the classic reader."""
-    if carry is not None and len(carry) > 4 and \
-            bytes(memoryview(carry)[:4]) == b"\x00\x00\x00\x00":
-        raise ValueError(
-            "Malformed BAM record (zero block_size mid-stream)")
+    """A carry whose head record has block_size 0 with bytes behind it
+    can never make progress (the chain walk treats bs==0 as EOS): fail
+    loudly instead of accumulating O(file) carry RSS and silently
+    dropping the tail (ADVICE r4).  Same rule as the classic reader's
+    check_stuck_zero, so fused and classic reach the same outcome."""
+    if carry is not None and len(carry):
+        check_stuck_zero(carry, 0)
 
 
 def fused_available() -> bool:

@@ -53,6 +53,73 @@ _MASK32 = (1 << 32) - 1
 # 512+ coverage)
 SPEC_HIST_BINS = 512
 
+# ---- warm-shape registry (VERDICT r4 #1) -------------------------------
+# On the tunnelled TPU, loading ONE sweep executable (even a persistent-
+# cache HIT) costs 55-400 s when the remote compile service is degraded
+# — measured r5: 3 concurrent cache-hit loads at 167 s each, a single
+# load at 387 s minutes later, vs ~5 s on a healthy day.  Blocking the
+# first result on every distinct batch shape multiplies that cost.
+# Instead: the first time a shape is needed, dispatch on any ALREADY-
+# WARM compatible shape with B' >= B (padding blocks are free semantics
+# — they route to the invalid segment and contribute nothing), capped at
+# _REUSE_CAP x waste, while the exact shape compiles in the background;
+# dispatches upgrade to the exact shape the moment its executable is
+# live.  No dispatch ever blocks on a compile that a warm shape could
+# cover.  COVERM_TPU_SHAPE_REUSE=0 disables.
+_warm_shapes: set = set()
+_inflight_shapes: set = set()
+import threading as _threading  # noqa: E402
+
+_shape_lock = _threading.Lock()
+_REUSE_CAP = 8
+
+
+def _reuse_enabled() -> bool:
+    import os
+    return os.environ.get("COVERM_TPU_SHAPE_REUSE", "1") != "0"
+
+
+def _shape_key(B, n_seg, ee, need_hist, n_bins, len_mode, trim_key,
+               start_mode):
+    return (B, n_seg, ee, need_hist, n_bins, len_mode, trim_key, start_mode)
+
+
+def _mark_warm(key):
+    with _shape_lock:
+        _warm_shapes.add(key)
+        _inflight_shapes.discard(key)
+
+
+def _pick_shape(B_exact, n_seg, ee, need_hist, n_bins, len_mode, trim_key,
+                start_mode):
+    """The B to dispatch on: exact if warm (or reuse disabled / nothing
+    better), else the smallest warm compatible B' in [B_exact,
+    cap*B_exact] — kicking the exact shape's compile off in the
+    background so later dispatches converge to the tight shape."""
+    exact = _shape_key(B_exact, n_seg, ee, need_hist, n_bins, len_mode,
+                       trim_key, start_mode)
+    if not _reuse_enabled():
+        return B_exact
+    with _shape_lock:
+        if exact in _warm_shapes:
+            return B_exact
+        best = None
+        for k in _warm_shapes:
+            if (k[1:] == exact[1:] and k[0] >= B_exact
+                    and k[0] <= _REUSE_CAP * B_exact
+                    and (best is None or k[0] < best)):
+                best = k[0]
+        if best is None:
+            return B_exact  # first-ever shape family: compile blocking
+        spawn = exact not in _inflight_shapes
+        if spawn:
+            _inflight_shapes.add(exact)
+    if spawn:
+        prewarm_sweep(B_exact, n_seg, ee, need_hist=need_hist,
+                      trim=trim_key, len_mode=len_mode,
+                      start_mode=start_mode, n_bins=n_bins)
+    return best
+
 
 def _bucket_geo(n: int, minimum: int = 1024) -> int:
     """Geometric size buckets: bounds h2d padding waste while keeping the
@@ -856,8 +923,14 @@ def prewarm_sweep(n_blocks: int, n_contigs: int, ee: int,
                 n_seg=n_seg, ee=ee, need_hist=need_hist, n_bins=n_bins,
                 len_mode=len_mode, trim=trim_key, start_mode=start_mode, B=B)
             jax.block_until_ready(r)
+            _mark_warm(_shape_key(B, n_seg, ee, need_hist, n_bins,
+                                  len_mode, trim_key, start_mode))
         except Exception as e:  # noqa: BLE001 — best-effort, recorded
             t.error = repr(e)
+            with _shape_lock:
+                _inflight_shapes.discard(_shape_key(
+                    B, n_seg, ee, need_hist, n_bins, len_mode, trim_key,
+                    start_mode))
         t.seconds = _time.perf_counter() - t0
 
     t = threading.Thread(target=run, name=f"prewarm-sweep-{B}")
@@ -906,7 +979,6 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
         return _sweep_legacy(layout, seg_ids, starts, ends, obs, n_seg,
                              seg_len_dev, n_out, need_hist, trim)
 
-    B = _bucket_geo(n_blocks)
     len_mode, scalar_len, vals = choose_payload(layout, tids, starts, ends)
 
     start_mode = "abs"
@@ -916,6 +988,9 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
         deltas, fs, mode = encode_start_deltas(starts, counts, n_blocks)
         if deltas is not None:
             start_mode, first_start = mode, fs
+    trim_key = (float(trim[0]), float(trim[1])) if trim is not None else None
+    B = _pick_shape(_bucket_geo(n_blocks), n_seg, ee, need_hist,
+                    SPEC_HIST_BINS, len_mode, trim_key, start_mode)
     if start_mode in ("d16", "d8"):
         starts_p = np.zeros(B, dtype=deltas.dtype)
         starts_p[:n_blocks] = deltas
@@ -929,7 +1004,6 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
         payload = np.zeros(B, dtype=vals.dtype)
         payload[:n_blocks] = vals
 
-    trim_key = (float(trim[0]), float(trim[1])) if trim is not None else None
     buf = _pack_u8(scalar_len, counts_ext, first_start, starts_p, payload,
                    B, n_seg, start_mode, len_mode)
     d_buf = jnp.asarray(buf)
@@ -946,10 +1020,13 @@ def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
             acc_in = jnp.zeros(
                 packed_result_len(n_seg, need_hist, n_bins,
                                   trim_key is not None), jnp.int64)
-        return _sweep_packed_u8(
+        r = _sweep_packed_u8(
             d_buf, acc_in, seg_len_dev, n_seg=n_seg, ee=ee,
             need_hist=need_hist, n_bins=n_bins, len_mode=len_mode,
             trim=trim_key, start_mode=start_mode, B=B)
+        _mark_warm(_shape_key(B, n_seg, ee, need_hist, n_bins, len_mode,
+                              trim_key, start_mode))
+        return r
 
     if use_acc:
         acc._dev = dispatch(SPEC_HIST_BINS, acc._dev)

@@ -70,6 +70,11 @@ def scan_sample(header: BamHeader, batch: RecordBatch, layout: ReferenceLayout,
     use = passes & mapped
 
     tids = batch.tid[use]
+    if tids.size and (int(tids.min()) < 0 or int(tids.max()) >= C):
+        # corrupt input: a mapped record naming a reference outside the
+        # header dictionary (the native fused scan raises the same way)
+        from .io.bam import BamFormatError
+        raise BamFormatError("BAM record references an out-of-range tid")
     if tids.size and np.any(np.diff(tids) < 0):
         raise BamSortingError(
             "BAM file appears to be unsorted. Input BAM files must be sorted "
@@ -178,12 +183,19 @@ def merge_scans(a: SampleScan, b: SampleScan) -> SampleScan:
     )
 
 
-def _empty_scan(header: BamHeader) -> SampleScan:
+def _empty_scan(header: BamHeader, need_hist: bool = False,
+                trim=None) -> SampleScan:
+    from .ops.sweep import empty_depth_stats
+
     C = header.n_ref
     z = lambda: np.zeros(C, dtype=np.int64)
-    depth = DepthStats(z(), z(), z(), z(), None, None, z(), z())
+    # empty_depth_stats keeps the hist/trimmed fields consistent with
+    # the fused path's zero-record result (trim requested -> zeros, not
+    # None), so a record-free BAM prints identically through either
+    # engine (tests/test_fused_carry_fuzz.py truncation agreement)
     return SampleScan(
-        header=header, depth=depth, observed=np.zeros(C, dtype=bool),
+        header=header, depth=empty_depth_stats(C, need_hist, trim),
+        observed=np.zeros(C, dtype=bool),
         reads_primary=z(), reads_nonsupp=z(), reads_all=z(),
         nm_sum=z(), indel_sum=z(),
         identity_sum_primary=np.zeros(C), identity_sum_nonsupp=np.zeros(C),
@@ -230,7 +242,7 @@ def scan_sample_batches(header: BamHeader, batches, layout: ReferenceLayout,
         agg = s if agg is None else merge_scans(agg, s)
     if agg is not None and acc is not None and not acc.empty:
         agg.depth = merge_depth_stats(agg.depth, acc.result())
-    return agg if agg is not None else _empty_scan(header)
+    return agg if agg is not None else _empty_scan(header, need_hist, trim)
 
 
 def _deferred_capable(depth_fn) -> bool:
