@@ -53,6 +53,11 @@ BAM_PATH = os.environ.get("COVERM_TPU_BENCH_BAM",
                           "/tmp/coverm_tpu_bench_r3.bam")
 META_PATH = BAM_PATH + ".meta.json"
 FIXTURE_VERSION = 4
+CRAM_PATH = os.environ.get("COVERM_TPU_BENCH_CRAM",
+                           "/tmp/coverm_tpu_bench_r5.cram")
+CRAM_META_PATH = CRAM_PATH + ".meta.json"
+CRAM_FIXTURE_VERSION = 1
+CRAM_REPS = 5
 
 
 def log(msg):
@@ -140,6 +145,190 @@ def build_bam(path):
     log(f"BAM fixture built in {time.time()-t0:.1f}s: "
         f"{os.path.getsize(path)/1e9:.2f} GB compressed, {n_reads} reads")
     return n_reads
+
+
+def _itf8_col(v):
+    """Vectorised ITF8 column encode (values < 2^21)."""
+    v = np.asarray(v, np.int64)
+    nb = np.where(v < 0x80, 1, np.where(v < 0x4000, 2, 3))
+    off = np.cumsum(nb) - nb
+    out = np.zeros(int(nb.sum()), np.uint8)
+    m1 = nb == 1
+    out[off[m1]] = v[m1]
+    m2 = nb == 2
+    out[off[m2]] = 0x80 | (v[m2] >> 8)
+    out[off[m2] + 1] = v[m2] & 0xFF
+    m3 = nb == 3
+    out[off[m3]] = 0xC0 | (v[m3] >> 16)
+    out[off[m3] + 1] = (v[m3] >> 8) & 0xFF
+    out[off[m3] + 2] = v[m3] & 0xFF
+    return out.tobytes()
+
+
+def build_cram_twin(path):
+    """CRAM 3.0 twin of the BAM fixture (VERDICT r4 #2): same read
+    geometry (32 x 1 Mbp contigs, 20x, 150 bp, coordinate-sorted, one
+    substitution per read), written htslib-style — RR=1 reference-coded
+    bases (no embedded reference; the coverage path never reconstructs
+    sequence), names preserved, qualities stored, NM:c tags, detached
+    single-end mate info, single-reference slices of 10k records.
+    Streams are numpy-built and gzip-compressed (the in-repo python rANS
+    ENCODER is too slow for 4.3M reads; rANS decode is pinned by the
+    test corpus instead — the bench twin measures stream walk + record
+    decode + inflate, with the quality stream lazily SKIPPED by the
+    direct route exactly as on htslib files)."""
+    import zlib
+
+    from coverm_tpu.io.cram import (CRAM_EOF, CRAM_MAGIC, CT_COMP_HEADER,
+                                    CT_EXTERNAL, CT_FILE_HEADER,
+                                    CT_SLICE_HEADER, M_GZIP, M_RAW,
+                                    build_compression_header,
+                                    build_slice_header,
+                                    byte_array_len_encoding,
+                                    byte_array_stop_encoding, ext_encoding,
+                                    huffman_const_encoding, write_block,
+                                    write_container)
+
+    t0 = time.time()
+    rng = np.random.default_rng(1)
+    n_reads = N_CONTIGS * CONTIG_LEN * COVERAGE // READ_LEN
+    tids = np.sort(rng.integers(0, N_CONTIGS, n_reads)).astype(np.int64)
+    starts = (rng.random(n_reads) * (CONTIG_LEN - READ_LEN)).astype(
+        np.int64) + 1  # 1-based
+    order = np.lexsort((starts, tids))
+    tids, starts = tids[order], starts[order]
+    snp_at = rng.integers(1, READ_LEN + 1, n_reads).astype(np.int64)  # FP
+    bs_codes = rng.integers(0, 4, n_reads).astype(np.uint8)
+
+    IDS = {"AP": 5, "RN": 6, "FP": 13, "BS": 27, "QS": 25, "NMV": 40}
+    senc = {
+        "BF": huffman_const_encoding(0),
+        "CF": huffman_const_encoding(3),     # QS stored | detached
+        "RL": huffman_const_encoding(READ_LEN),
+        "AP": ext_encoding(IDS["AP"]),
+        "RG": huffman_const_encoding(-1),
+        "RN": byte_array_stop_encoding(0, IDS["RN"]),
+        "MF": huffman_const_encoding(0),
+        "NS": huffman_const_encoding(-1),
+        "NP": huffman_const_encoding(0),
+        "TS": huffman_const_encoding(0),
+        "TL": huffman_const_encoding(0),
+        "FN": huffman_const_encoding(1),     # one substitution per read
+        "FC": huffman_const_encoding(ord("X")),
+        "FP": ext_encoding(IDS["FP"]),
+        "BS": ext_encoding(IDS["BS"]),
+        "MQ": huffman_const_encoding(60),
+        "QS": ext_encoding(IDS["QS"]),
+    }
+    tenc = {("NM", "c"): byte_array_len_encoding(
+        huffman_const_encoding(1), ext_encoding(IDS["NMV"]))}
+    comp_data = build_compression_header(
+        senc, tenc, [[("NM", "c")]], rn_preserved=True, ap_delta=True,
+        ref_required=True)
+
+    # per-read 8-digit names (same style as the BAM fixture)
+    qrow = (25 + (np.arange(READ_LEN) * 7) % 12).astype(np.uint8)
+    out = open(path + ".tmp", "wb")
+    out.write(CRAM_MAGIC + bytes([3, 0]) + b"coverm-tpu".ljust(20, b"\x00"))
+    text = b"".join(b"@SQ\tSN:c%d\tLN:%d\n" % (i, CONTIG_LEN)
+                    for i in range(N_CONTIGS))
+    hdr_payload = struct.pack("<i", len(text)) + text
+    out.write(write_container(-1, 0, 0, 0, 0, 0, [
+        write_block(M_RAW, CT_FILE_HEADER, 0, hdr_payload)]))
+
+    PER_SLICE = 10_000
+    counter = 0
+    bounds = np.searchsorted(tids, np.arange(N_CONTIGS + 1))
+    idx_all = np.arange(n_reads, dtype=np.int64)
+    name_digits = np.empty((n_reads, 10), np.uint8)
+    name_digits[:, 0] = ord("r")
+    for k in range(8):
+        name_digits[:, 1 + k] = ord("0") + (idx_all // 10 ** (7 - k)) % 10
+    name_digits[:, 9] = 0  # the stop byte
+    for c in range(N_CONTIGS):
+        lo, hi = int(bounds[c]), int(bounds[c + 1])
+        for s0 in range(lo, hi, PER_SLICE):
+            s1 = min(s0 + PER_SLICE, hi)
+            n = s1 - s0
+            st = starts[s0:s1]
+            ap = np.empty(n, np.int64)
+            ap[0] = 0
+            np.subtract(st[1:], st[:-1], out=ap[1:])
+            streams = [
+                (IDS["AP"], _itf8_col(ap)),
+                (IDS["RN"], name_digits[s0:s1].tobytes()),
+                (IDS["FP"], _itf8_col(snp_at[s0:s1])),
+                (IDS["BS"], bs_codes[s0:s1].tobytes()),
+                (IDS["NMV"], b"\x01" * n),
+                (IDS["QS"], np.broadcast_to(
+                    qrow, (n, READ_LEN)).tobytes()),
+            ]
+            blocks = [write_block(M_GZIP, CT_COMP_HEADER, 0, comp_data)]
+            sl_start = int(st[0])
+            sl_span = int(st[-1]) + READ_LEN - sl_start
+            sh = build_slice_header(c, sl_start, sl_span, n, counter,
+                                    1 + len(streams),
+                                    [cid for cid, _ in streams])
+            blocks.append(write_block(M_RAW, CT_SLICE_HEADER, 0, sh))
+            blocks.append(write_block(M_RAW, 5, 0, b""))  # CT_CORE empty
+            for cid, data in streams:
+                blocks.append(write_block(M_GZIP, CT_EXTERNAL, cid, data))
+            out.write(write_container(c, sl_start, sl_span, n, counter,
+                                      n * READ_LEN, blocks))
+            counter += n
+    out.write(CRAM_EOF)
+    out.close()
+    os.replace(path + ".tmp", path)
+    with open(CRAM_META_PATH, "w") as f:
+        json.dump({"version": CRAM_FIXTURE_VERSION, "n_reads": int(n_reads)},
+                  f)
+    log(f"CRAM twin built in {time.time()-t0:.1f}s: "
+        f"{os.path.getsize(path)/1e9:.2f} GB, {n_reads} reads")
+    return n_reads
+
+
+def ensure_cram():
+    if os.path.exists(CRAM_PATH) and os.path.exists(CRAM_META_PATH):
+        try:
+            with open(CRAM_META_PATH) as f:
+                meta = json.load(f)
+            if meta.get("version") == CRAM_FIXTURE_VERSION:
+                log(f"CRAM twin reused: {CRAM_PATH} "
+                    f"({os.path.getsize(CRAM_PATH)/1e9:.2f} GB)")
+                return meta["n_reads"]
+        except Exception:
+            pass
+    return build_cram_twin(CRAM_PATH)
+
+
+def cram_bench(devnull):
+    """Decode-inclusive CRAM production path (VERDICT r4 #2): the same
+    contig-coverage call as the BAM metric, fed the CRAM twin.  Logged
+    every run so a CRAM regression can never be silent."""
+    from coverm_tpu.flags import FlagFilter
+    from coverm_tpu.modes import BamFileSource, contig_coverage
+    from coverm_tpu.takers import OutputWriter, StreamingCoverageTaker
+
+    n_reads = ensure_cram()
+
+    def one_pass():
+        source = BamFileSource(CRAM_PATH)
+        taker = StreamingCoverageTaker(OutputWriter(fileobj=devnull))
+        return contig_coverage([source], taker, make_estimators(),
+                               print_zero_coverage_contigs=True,
+                               flag_filter=FlagFilter())
+    rm = one_pass()  # residual warmup (kernel shapes shared with BAM)
+    assert rm[0].num_reads == n_reads, (rm[0], n_reads)
+    times = []
+    for _ in range(CRAM_REPS):
+        t0 = time.time()
+        one_pass()
+        times.append(time.time() - t0)
+    best = float(np.min(times))
+    rps = n_reads / best
+    log(f"CRAM production-path times: {[round(t, 2) for t in times]} "
+        f"best={best:.2f}s ({rps:,.0f} reads/s decode-inclusive best-of)")
+    return rps, n_reads / float(np.median(times))
 
 
 def ensure_bam():
@@ -525,6 +714,8 @@ def main():
     dev_rps = device_only(layout, batches, n_reads)
     log(f"device-only: {dev_rps:,.0f} reads/s")
 
+    cram_rps, cram_med = cram_bench(devnull)
+
     floor = host_profile(n_reads)
 
     base_rps = baseline(n_reads)
@@ -540,6 +731,8 @@ def main():
         "warmup_s": round(warmup_s, 1),
         "median_reads_per_s": round(n_reads / float(np.median(times))),
         "device_only_reads_per_s": round(dev_rps),
+        "cram_reads_per_s": round(cram_rps),
+        "cram_median_reads_per_s": round(cram_med),
         "baseline_reads_per_s": round(base_rps),
         "n_reads": n_reads,
         "bam_bytes": os.path.getsize(BAM_PATH),

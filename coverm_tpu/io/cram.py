@@ -1469,11 +1469,9 @@ def _native_cram_available() -> bool:
     return lib is not None and hasattr(lib, "ct_cram_decode_slice")
 
 
-def _iter_bam_segments_native(raw, require_seq: bool):
-    """Container walk with the native slice decoder (cramdecode.cpp);
-    any slice the native decoder rejects falls back to the pure-python
-    record model, so output is identical either way."""
-    from . import native
+def read_cram_header_text(raw) -> tuple:
+    """(sam_header_text, offset_of_first_data_container); validates the
+    magic and major version."""
     if not is_cram(raw):
         raise CramFormatError("Not a CRAM file (bad magic)")
     major = raw[4]
@@ -1488,65 +1486,186 @@ def _iter_bam_segments_native(raw, require_seq: bool):
         raise CramFormatError("First container lacks the SAM header block")
     (text_len,) = struct.unpack_from("<i", hdr_block.data, 0)
     sam_text = hdr_block.data[4:4 + text_len].decode()
+    return sam_text, c.blocks_start + c.length
+
+
+class LazyBlock:
+    """A compressed external block whose DATA the direct stats decode
+    never reads (quality/base/name value streams): only its uncompressed
+    size keeps the skip cursors in lockstep, so decompression is skipped
+    entirely.  materialize() decompresses on demand (python fallback)."""
+
+    __slots__ = ("method", "raw", "rsize")
+
+    def __init__(self, method, raw, rsize):
+        self.method = method
+        self.raw = raw
+        self.rsize = rsize
+
+    def materialize(self) -> bytes:
+        return _decompress_block(self.method, self.raw, self.rsize)
+
+
+_SKIP_BYTE_SERIES = ("RN", "IN", "SC", "BB", "QQ")
+
+
+def stats_skippable_cids(comp) -> set:
+    """External content ids the direct stats decode never READS.
+
+    Size-only consumption: EXTERNAL byte sources of QS/BA (skip_n) and
+    BYTE_ARRAY_LEN value streams of name/base/quality series and of
+    non-NM tags (length from the len stream, then skip_n).  A
+    BYTE_ARRAY_STOP stream is NEVER skippable — finding the terminator
+    requires the bytes.  Any cid also referenced by a needed consumer
+    stays needed."""
+    needed, skippable = set(), set()
+
+    def mark_int(c):
+        if isinstance(c, ExternalCodec):
+            needed.add(c.content_id)
+        elif isinstance(c, ByteArrayLenCodec):  # defensive: not an int
+            mark_bytes(c, True)
+
+    def mark_bytes(c, value_needed):
+        if isinstance(c, ByteArrayStopCodec):
+            needed.add(c.content_id)
+        elif isinstance(c, ByteArrayLenCodec):
+            mark_int(c.len_codec)
+            v = c.val_codec
+            if isinstance(v, ExternalCodec):
+                (needed if value_needed else skippable).add(v.content_id)
+            else:
+                mark_int(v)
+        elif isinstance(c, ExternalCodec):
+            (needed if value_needed else skippable).add(c.content_id)
+
+    for key, c in comp.series.items():
+        if key in ("QS", "BA"):
+            mark_bytes(c, value_needed=False)
+        elif key in _SKIP_BYTE_SERIES:
+            mark_bytes(c, value_needed=False)
+        else:
+            mark_int(c)
+    for (tag, _typ), c in comp.tags.items():
+        mark_bytes(c, value_needed=(tag == "NM"))
+    return skippable - needed
+
+
+def iter_cram_slice_blocks(raw, p, lazy_skippable: bool = False):
+    """Per-slice (comp_block, sh_block, slice header, core, ext_items)
+    tuples from offset `p` (the first data container); block
+    decompression (gzip/rANS) happens HERE, so driving this iterator
+    through a prefetch thread overlaps it with record decoding.
+
+    lazy_skippable=True (the direct-stats route): blocks whose data the
+    stats decode never reads are yielded as LazyBlock placeholders
+    instead of being decompressed — on real files this skips the
+    quality stream, the bulk of every slice's decompression work."""
+    from . import native
+    pp = p
+    comp_cache = (None, None)  # (comp data bytes, skippable cid set)
+    while pp < len(raw):
+        if raw[pp:pp + len(CRAM_EOF)] == CRAM_EOF:
+            return
+        c2, pp = read_container_header(raw, pp)
+        end = c2.blocks_start + c2.length
+        q = c2.blocks_start
+        if c2.n_records == 0 and c2.ref_id == -1 and c2.n_blocks <= 1:
+            pp = end  # empty / non-canonical EOF container
+            continue
+        comp_block, q = read_block(raw, q)
+        if comp_block.content_type != CT_COMP_HEADER:
+            raise CramFormatError("Container missing compression header")
+        skip_cids = frozenset()
+        if lazy_skippable:
+            if comp_cache[0] == comp_block.data:
+                skip_cids = comp_cache[1]
+            else:
+                try:
+                    skip_cids = frozenset(stats_skippable_cids(
+                        parse_compression_header(comp_block.data)))
+                except Exception:
+                    skip_cids = frozenset()  # unparseable: decompress all
+                comp_cache = (comp_block.data, skip_cids)
+        while q < end:
+            sh_block, q = read_block(raw, q)
+            if sh_block.content_type != CT_SLICE_HEADER:
+                raise CramFormatError("Expected slice header block")
+            sl = parse_slice_header(sh_block.data)
+            hdrs = []
+            for _ in range(sl.n_blocks):
+                q0 = q
+                m, ct, cid, rw, rs, q = read_block_raw(raw, q)
+                lazy = (ct == CT_EXTERNAL and cid in skip_cids
+                        and cid != sl.embedded_ref_id)
+                if lazy:
+                    # a skipped block is never decompressed, so its only
+                    # integrity check is the CRC tail (verified over the
+                    # COMPRESSED body — cheap); a zero CRC is tolerated
+                    # like everywhere else (some writers emit zeros)
+                    stored = int.from_bytes(bytes(raw[q - 4:q]), "little")
+                    if stored and zlib.crc32(bytes(raw[q0:q - 4])) != stored:
+                        raise CramFormatError(
+                            f"CRAM block CRC mismatch (content id {cid})")
+                hdrs.append([m, ct, cid, rw, rs, None, lazy])
+            # threaded batch decode of the slice's rANS blocks; on any
+            # failure fall through to per-block decode for full error
+            # context
+            ridx = [k for k, h in enumerate(hdrs)
+                    if h[0] == M_RANS and not h[6]]
+            if len(ridx) > 1:
+                outs = native.rans_decode_batch(
+                    [hdrs[k][3] for k in ridx],
+                    [hdrs[k][4] for k in ridx])
+                if outs is not None:
+                    for k, d in zip(ridx, outs):
+                        hdrs[k][5] = d
+            core_data = b""
+            ext_items = []
+            for m, ct, cid, rw, rs, d, lazy in hdrs:
+                if lazy:
+                    ext_items.append((cid, LazyBlock(m, rw, rs)))
+                    continue
+                if d is None:
+                    d = _decompress_block(m, rw, rs)
+                if ct == CT_CORE:
+                    core_data = d
+                elif ct == CT_EXTERNAL:
+                    ext_items.append((cid, d))
+            yield comp_block, sh_block, sl, core_data, ext_items
+        pp = end
+
+
+def decode_slice_python(comp, sl, core_data, ext_items):
+    """Pure-python record decode of one slice (the oracle/fallback):
+    returns the Rec list, resolving the embedded reference if the slice
+    carries one."""
+    core = BitReader(core_data)
+    ext = {}
+    embedded_ref = None
+    for cid, data in ext_items:
+        if sl.embedded_ref_id >= 0 and cid == sl.embedded_ref_id:
+            embedded_ref = data
+        ext[cid] = _ExtStream(data)
+    return _decode_slice_records(comp, sl, core, ext,
+                                 embedded_ref=embedded_ref)
+
+
+def _iter_bam_segments_native(raw, require_seq: bool):
+    """Container walk with the native slice decoder (cramdecode.cpp);
+    any slice the native decoder rejects falls back to the pure-python
+    record model, so output is identical either way."""
+    from . import native
+    sam_text, p = read_cram_header_text(raw)
     rg_ids = _rg_ids_of(sam_text)
     rg_blob = b"\x00".join(g.encode() for g in rg_ids)
     yield bam_header_bytes_from_sam_text(sam_text)
-    p = c.blocks_start + c.length
-
-    def slices():
-        """Per-slice (comp_block, sh_block, slice header, core, ext)
-        tuples; block decompression (gzip/rANS) happens here, on the
-        prefetch thread, overlapping the native record decode below."""
-        pp = p
-        while pp < len(raw):
-            if raw[pp:pp + len(CRAM_EOF)] == CRAM_EOF:
-                return
-            c2, pp = read_container_header(raw, pp)
-            end = c2.blocks_start + c2.length
-            q = c2.blocks_start
-            if c2.n_records == 0 and c2.ref_id == -1 and c2.n_blocks <= 1:
-                pp = end  # empty / non-canonical EOF container
-                continue
-            comp_block, q = read_block(raw, q)
-            if comp_block.content_type != CT_COMP_HEADER:
-                raise CramFormatError("Container missing compression header")
-            while q < end:
-                sh_block, q = read_block(raw, q)
-                if sh_block.content_type != CT_SLICE_HEADER:
-                    raise CramFormatError("Expected slice header block")
-                sl = parse_slice_header(sh_block.data)
-                hdrs = []
-                for _ in range(sl.n_blocks):
-                    m, ct, cid, rw, rs, q = read_block_raw(raw, q)
-                    hdrs.append([m, ct, cid, rw, rs, None])
-                # threaded batch decode of the slice's rANS blocks;
-                # on any failure fall through to per-block decode for
-                # full error context
-                ridx = [k for k, h in enumerate(hdrs) if h[0] == M_RANS]
-                if len(ridx) > 1:
-                    outs = native.rans_decode_batch(
-                        [hdrs[k][3] for k in ridx],
-                        [hdrs[k][4] for k in ridx])
-                    if outs is not None:
-                        for k, d in zip(ridx, outs):
-                            hdrs[k][5] = d
-                core_data = b""
-                ext_items = []
-                for m, ct, cid, rw, rs, d in hdrs:
-                    if d is None:
-                        d = _decompress_block(m, rw, rs)
-                    if ct == CT_CORE:
-                        core_data = d
-                    elif ct == CT_EXTERNAL:
-                        ext_items.append((cid, d))
-                yield comp_block, sh_block, sl, core_data, ext_items
-            pp = end
 
     from ..prefetch import prefetch_iter
 
     comp_cache = (None, None)  # (comp_block, parsed header) for fallback
     for comp_block, sh_block, sl, core_data, ext_items in \
-            prefetch_iter(slices()):
+            prefetch_iter(iter_cram_slice_blocks(raw, p)):
         res = native.cram_decode_slice(comp_block.data, sh_block.data,
                                        core_data, ext_items, rg_blob)
         if res is not None:

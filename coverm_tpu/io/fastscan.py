@@ -96,11 +96,16 @@ class FusedScanStream:
         """Parse the header; on the native-BGZF path only the leading
         blocks inflate (geometrically grown until the header fits) and
         the remainder is planned as raw block-table groups for the
-        one-call fused ingest (ct_ingest_scan)."""
+        one-call fused ingest (ct_ingest_scan); on the CRAM path the
+        container body offset is planned for per-slice stats decoding
+        (ct_cram_stats_slice)."""
         import struct
 
         self._plan = None
+        self._cram = None
         if self._open_bgzf_plan():
+            return self.header
+        if self._open_cram_plan():
             return self.header
         self._gen = self._segments_raw()
         acc = None
@@ -150,6 +155,49 @@ class FusedScanStream:
                     raise
                 j = min(j * 4, n)
         self._plan = (mm, off, csz, usz, buf[hdr_end:], j)
+        return True
+
+    def _open_cram_plan(self) -> bool:
+        """CRAM direct-stats plan (VERDICT r4 #2): slices decode straight
+        into block/stat arrays (ct_cram_stats_slice) — no BAM byte
+        materialisation, no re-scan.  COVERM_TPU_CRAM_STATS=0 forces the
+        legacy BAM-materialising route (kept as oracle/fallback)."""
+        with open(self.path, "rb") as f:
+            if f.read(4) != b"CRAM":
+                return False
+        if os.environ.get("COVERM_TPU_CRAM_STATS", "1") == "0":
+            return False
+        if os.environ.get("COVERM_TPU_NATIVE_CRAM", "1") == "0":
+            return False
+        lib = native.get_lib()
+        if lib is None or not hasattr(lib, "ct_cram_stats_slice"):
+            return False
+        import mmap
+        import struct
+        import zlib
+
+        from .cram import (CramFormatError, bam_header_bytes_from_sam_text,
+                           read_cram_header_text)
+        f = open(self.path, "rb")
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            sam_text, body_off = read_cram_header_text(mm)
+            hdr_bytes = bam_header_bytes_from_sam_text(sam_text)
+            self.header, _ = _parse_header(
+                np.frombuffer(hdr_bytes, np.uint8))
+        except (IndexError, struct.error, zlib.error, EOFError, KeyError,
+                ValueError, UnicodeDecodeError) as e:
+            mm.close()
+            f.close()
+            raise CramFormatError(
+                f"Truncated or corrupt CRAM file ({e}); if the file is a "
+                "newer CRAM minor version re-encode it, e.g.: samtools "
+                "view -C --output-fmt cram,version=3.0 in.cram") from e
+        except Exception:
+            mm.close()
+            f.close()
+            raise
+        self._cram = (mm, body_off, f)
         return True
 
     def raw_buffers(self):
@@ -214,6 +262,63 @@ class FusedScanStream:
                 yield arr, 0, arr.size
 
 
+def _cram_slice_blocks(stream, stats, skip_mask, req_mask):
+    """Per-slice (btid, bstart, bend, seg_counts) via the native direct
+    stats decoder, falling back to the python record model + stats_scan
+    for any slice the native decoder rejects (identical outcome either
+    way: the python path raises CramFormatError loudly on real
+    corruption).  Block decompression rides the prefetch thread."""
+    import struct
+    import zlib
+
+    from ..prefetch import prefetch_iter
+    from .cram import (CramFormatError, _bam_record_bytes,
+                       decode_slice_python, iter_cram_slice_blocks,
+                       parse_compression_header)
+
+    mm, body_off, _f = stream._cram
+    comp_cache = (None, None)
+    try:
+        for comp_block, sh_block, sl, core_data, ext_items in \
+                prefetch_iter(iter_cram_slice_blocks(mm, body_off,
+                                                     lazy_skippable=True)):
+            res = native.cram_stats_slice(comp_block.data, sh_block.data,
+                                          core_data, ext_items, stats,
+                                          skip_mask, req_mask)
+            if res is not None:
+                yield res
+                continue
+            # python fallback for this slice; the cache holds the block
+            # object itself so identity stays valid.  Size-only streams
+            # decompress here after all — the fallback reads them.
+            ext_items = [(cid, d.materialize() if hasattr(d, "rsize")
+                          else d) for cid, d in ext_items]
+            comp = comp_cache[1] if comp_cache[0] is comp_block else None
+            if comp is None:
+                comp = parse_compression_header(comp_block.data)
+                comp_cache = (comp_block, comp)
+            recs = decode_slice_python(comp, sl, core_data, ext_items)
+            part = bytearray()
+            for r in recs:
+                part += _bam_record_bytes(r)
+            res2 = native.stats_scan(
+                np.frombuffer(bytes(part), np.uint8), 0, stats,
+                skip_mask, req_mask)
+            if res2 is None:
+                raise RuntimeError("native fused scan unavailable")
+            yield res2[0], res2[1], res2[2], res2[3]
+    except (IndexError, struct.error, zlib.error, EOFError, KeyError,
+            ValueError, UnicodeDecodeError) as e:
+        # same wrap as iter_cram_containers: malformed container bytes
+        # (or stats-layer rejects such as an out-of-range tid) surface
+        # through the CLI's fail-fast `Error:` path; CramFormatError
+        # itself passes through untouched.
+        raise CramFormatError(
+            f"Truncated or corrupt CRAM file ({e}); if the file is a "
+            "newer CRAM minor version re-encode it, e.g.: samtools view "
+            "-C --output-fmt cram,version=3.0 in.cram") from e
+
+
 def scan_sample_fused(header, stream: FusedScanStream, layout, flag_filter,
                       need_hist: bool, trim=None, depth_fn=None):
     """One-native-pass streaming scan -> SampleScan.
@@ -260,6 +365,10 @@ def scan_sample_fused(header, stream: FusedScanStream, layout, flag_filter,
 
     def seg_blocks():
         """Yield (btid, bstart, bend) per segment, updating `stats`."""
+        if getattr(stream, "_cram", None) is not None:
+            yield from _cram_slice_blocks(stream, stats, skip_mask,
+                                          req_mask)
+            return
         if getattr(stream, "_plan", None) is not None:
             # one-call fused ingest per raw block-table group: inflate,
             # chain and scan overlap inside the native call; the
@@ -313,9 +422,10 @@ def scan_sample_fused(header, stream: FusedScanStream, layout, flag_filter,
 
     def iter_segments():
         gen = seg_blocks()
-        if getattr(stream, "_plan", None) is not None:
-            # overlap the next native ingest with this segment's
-            # dispatch prep (bincount/delta-encode/pack + h2d)
+        if getattr(stream, "_plan", None) is not None or \
+                getattr(stream, "_cram", None) is not None:
+            # overlap the next native ingest / slice decode with this
+            # segment's dispatch prep (bincount/delta-encode/pack + h2d)
             gen = prefetch_iter(gen)
         try:
             yield from gen

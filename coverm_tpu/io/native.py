@@ -117,6 +117,14 @@ def get_lib():
             lib.ct_cram_free.argtypes = [ctypes.c_void_p]
         except AttributeError:
             pass
+        try:
+            lib.ct_cram_stats_slice.restype = ctypes.c_void_p
+            lib.ct_cram_stats_slice.argtypes = [
+                c_u8p, c_i64, c_u8p, c_i64, c_u8p, c_i64, c_u8p, c_i64p,
+                c_i64p, c_i64p, c_i64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, c_i64p]
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
 
@@ -506,6 +514,45 @@ def cram_decode_slice(comp_hdr, slice_hdr, core, ext_items, rg_blob):
     finally:
         lib.ct_cram_free(h)
     return out.tobytes(), int(scalars[0]), int(scalars[3])
+
+
+def cram_stats_slice(comp_hdr, slice_hdr, core, ext_items,
+                     acc: StatsAccum, skip_mask: int, req_mask: int):
+    """Native CRAM slice decode STRAIGHT into the fused-scan stats model
+    (no BAM wire bytes, no re-scan): accumulates per-contig statistics
+    into `acc` and returns (btid, bstart, bend, seg_counts), or None
+    (unavailable / malformed -> the caller falls back to the python
+    record model + stats_scan for this slice)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ct_cram_stats_slice"):
+        return None
+    comp = _as_u8(comp_hdr)
+    sh = _as_u8(slice_hdr)
+    cr = _as_u8(core)
+    # an ext item may be a LazyBlock (size-only stream, never
+    # decompressed): it contributes NO bytes to the buffer but its
+    # uncompressed size keeps the native skip cursors in lockstep
+    ids = np.asarray([cid for cid, _ in ext_items], np.int64)
+    present = [b"" if hasattr(d, "rsize") else bytes(d)
+               for _, d in ext_items]
+    sizes = np.asarray(
+        [d.rsize if hasattr(d, "rsize") else len(d)
+         for _, d in ext_items], np.int64)
+    off = np.zeros(ids.size + 1, np.int64)
+    if ids.size:
+        np.cumsum([len(b) for b in present], out=off[1:])
+    buf = _as_u8(b"".join(present))
+    scalars = np.zeros(11, np.int64)
+    h = lib.ct_cram_stats_slice(_u8p(comp), comp.size, _u8p(sh), sh.size,
+                                _u8p(cr), cr.size, _u8p(buf), _i64p(off),
+                                _i64p(sizes), _i64p(ids), ids.size,
+                                acc.n_ref, skip_mask,
+                                req_mask, _i64p(scalars))
+    if not h:
+        return None
+    btid, bstart, bend, seg_counts, _ = _finish_stats_handle(
+        lib, h, scalars, acc, leftover_from_buf=False)
+    return btid, bstart, bend, seg_counts
 
 
 def rans_decode_batch(blobs, out_sizes) -> list | None:

@@ -76,15 +76,19 @@ class BamFileSource:
         return self.stoit_name
 
     def read(self):
-        if os.path.getsize(self.path) >= STREAM_THRESHOLD_BYTES:
-            # only BGZF BAM and CRAM have streamable framing; big SAM
-            # text / uncompressed BAM fall back to whole-file decode
-            with open(self.path, "rb") as f:
-                magic = f.read(4)
-            if magic[:2] == b"\x1f\x8b" or magic == b"CRAM":
-                from .io.fastscan import FusedScanStream
-                stream = FusedScanStream(self.path)
-                return stream.open(), stream
+        with open(self.path, "rb") as f:
+            magic = f.read(4)
+        # CRAM always streams: the per-slice direct-stats decoder
+        # (io/fastscan._cram_slice_blocks) beats whole-file BAM
+        # materialisation at EVERY size.  BGZF BAM streams above the
+        # threshold; big SAM text / uncompressed BAM fall back to
+        # whole-file decode (no streamable framing).
+        if magic == b"CRAM" or (
+                magic[:2] == b"\x1f\x8b"
+                and os.path.getsize(self.path) >= STREAM_THRESHOLD_BYTES):
+            from .io.fastscan import FusedScanStream
+            stream = FusedScanStream(self.path)
+            return stream.open(), stream
         r = BamReader(self.path)
         return r.header, r.batch
 

@@ -648,36 +648,16 @@ int64_t ct_rans_decode(const uint8_t* in, int64_t in_len, uint8_t* out,
 // so every statistic (including the f64 identity sums) is deterministic
 // run to run.
 
+#include "stats_state.h"
+
+using covermio::ChunkOut;
+using covermio::StatsRun;
+using covermio::StatsScanState;
+
 namespace {
 
 constexpr int64_t kChunkShift = 15;  // 32768 records per chunk
 constexpr int64_t kChunkRecs = 1ll << kChunkShift;
-
-struct StatsRun {
-  int32_t tid;
-  int64_t reads_primary, reads_nonsupp, reads_all;
-  int64_t nm_sum, indel_sum, block_count;
-  double ident_primary, ident_nonsupp;
-};
-
-struct ChunkOut {
-  std::vector<StatsRun> runs;
-  std::vector<int32_t> btid, bstart, bend;
-  int64_t n_primary = 0;    // primary alignments among ALL records
-  int64_t nm_missing = 0;   // passing mapped records lacking NM
-  int32_t first_tid = -1, last_tid = -1;  // over passing mapped records
-  bool sorted = true;
-  int64_t err = 0;  // (record index within chunk)+1 on malformed input
-};
-
-struct StatsScanState {
-  std::vector<ChunkOut> chunks;
-  int64_t n_chunks = 0;
-  int64_t n_records = 0, end_off = 0, n_blocks = 0;
-  uint8_t* buf = nullptr;   // ingest path: owned decode buffer
-  int64_t buf_len = 0;
-};
-
 
 }  // namespace
 

@@ -16,6 +16,7 @@
 // lzma; rANS is native already).
 
 #include <algorithm>
+#include <climits>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -23,6 +24,8 @@
 #include <memory>
 #include <string>
 #include <vector>
+
+#include "stats_state.h"
 
 namespace cram {
 
@@ -116,11 +119,17 @@ struct BitReader {
 };
 
 struct ExtStream {
+  // d may be null for a SIZE-ONLY stream (stats mode: a block whose
+  // data is never read — e.g. a quality stream — is not even
+  // decompressed; only n, its uncompressed size, keeps skip_n in
+  // lockstep).  Any actual read of a size-only stream throws, which
+  // sends the slice to the python fallback.
   const uint8_t* d = nullptr;
   int64_t n = 0;
   int64_t p = 0;
 
   inline int64_t itf8() {
+    if (!d) throw DecodeError{};
     Buf b{d, n, p};
     int64_t v = read_itf8(b);
     p = b.p;
@@ -128,21 +137,39 @@ struct ExtStream {
   }
 
   inline uint8_t byte() {
-    if (p >= n) throw DecodeError{};
+    if (!d || p >= n) throw DecodeError{};
     return d[p++];
   }
 
   inline void read_n(int64_t k, std::string& out) {
-    if (p + k > n) throw DecodeError{};
+    if (!d || p + k > n) throw DecodeError{};
     out.assign((const char*)d + p, (size_t)k);
     p += k;
   }
 
   inline void read_until(uint8_t stop, std::string& out) {
+    if (!d) throw DecodeError{};
     const uint8_t* q = (const uint8_t*)memchr(d + p, stop, (size_t)(n - p));
     if (!q) throw DecodeError{};
     out.assign((const char*)d + p, (size_t)(q - (d + p)));
     p = (q - d) + 1;
+  }
+
+  // stats-mode fast paths: consume WITHOUT copying (the coverage scan
+  // never reads names / bases / qualities, only stream positions must
+  // stay in lockstep).  skip_n works on size-only streams (d null).
+  inline void skip_n(int64_t k) {
+    if (k < 0 || p + k > n) throw DecodeError{};
+    p += k;
+  }
+
+  inline int64_t skip_until(uint8_t stop) {
+    if (!d) throw DecodeError{};
+    const uint8_t* q = (const uint8_t*)memchr(d + p, stop, (size_t)(n - p));
+    if (!q) throw DecodeError{};
+    int64_t len = q - (d + p);
+    p = (q - d) + 1;
+    return len;
   }
 };
 
@@ -228,6 +255,25 @@ static int64_t decode_int(const Codec& c, Ctx& ctx) {
 static uint8_t decode_byte(const Codec& c, Ctx& ctx) {
   if (c.kind == 1) return ctx.stream(c.cid).byte();
   return (uint8_t)decode_int(c, ctx);
+}
+
+// Consume a byte-array series without materialising it; returns the
+// byte count (the CIGAR length of IN/SC/BB features).
+static int64_t skip_bytes(const Codec& c, Ctx& ctx) {
+  if (c.kind == 5) {  // BYTE_ARRAY_STOP
+    return ctx.stream(c.cid).skip_until(c.stop);
+  }
+  if (c.kind == 4) {  // BYTE_ARRAY_LEN
+    int64_t n = decode_int(*c.len_enc, ctx);
+    if (n < 0 || n > (1 << 28)) throw DecodeError{};
+    if (c.val_enc->kind == 1) {
+      ctx.stream(c.val_enc->cid).skip_n(n);
+    } else {
+      for (int64_t i = 0; i < n; i++) decode_byte(*c.val_enc, ctx);
+    }
+    return n;
+  }
+  throw DecodeError{};
 }
 
 static void decode_bytes(const Codec& c, Ctx& ctx, std::string& out) {
@@ -442,6 +488,11 @@ struct Rec {
   bool has_rg_tag = false;
   int64_t end = 0;
   bool seq_incomplete = false;
+  int64_t nm = -1;  // stats mode: NM tag value (-1 = absent)
+  // block-sink mode: this record's coverage blocks live at
+  // [blk_lo, blk_hi) of the sink arrays; CIGAR-derived sums
+  int64_t a_cov = 0, ind = 0;
+  int32_t blk_lo = 0, blk_hi = 0;
 };
 
 struct SubTable {
@@ -475,16 +526,111 @@ static inline int base_index(uint8_t b) {
   }
 }
 
+// BAM-typed integer tag payload -> value; -1 for non-integer types
+// (the BAM aux scanner treats a non-integer NM as absent, matching
+// bamdecode.cpp scan_aux_tags' has_val gating)
+static int64_t parse_int_payload(char typ, const std::string& v) {
+  switch (typ) {
+    case 'A':
+    case 'C':
+      if (v.size() < 1) throw DecodeError{};
+      return (uint8_t)v[0];
+    case 'c':
+      if (v.size() < 1) throw DecodeError{};
+      return (int8_t)v[0];
+    case 'S': {
+      if (v.size() < 2) throw DecodeError{};
+      uint16_t x;
+      memcpy(&x, v.data(), 2);
+      return x;
+    }
+    case 's': {
+      if (v.size() < 2) throw DecodeError{};
+      int16_t x;
+      memcpy(&x, v.data(), 2);
+      return x;
+    }
+    case 'I': {
+      if (v.size() < 4) throw DecodeError{};
+      uint32_t x;
+      memcpy(&x, v.data(), 4);
+      return x;
+    }
+    case 'i': {
+      if (v.size() < 4) throw DecodeError{};
+      int32_t x;
+      memcpy(&x, v.data(), 4);
+      return x;
+    }
+    default:
+      return -1;
+  }
+}
+
 struct SliceDecoder {
   const CompHeader& h;
   const SliceHeader& sl;
   Ctx& ctx;
   const uint8_t* eref;  // embedded reference (or null)
   int64_t eref_len;
+  bool stats_only = false;  // skip seq/qual/name materialisation
+  // block-sink mode (stats only): emit each maximal M/=/X run straight
+  // into these arrays during the feature walk — no CIGAR vector is
+  // built at all.  Valid only when the flag gate does not read the
+  // mate bits resolved after decode (the caller checks).
+  std::vector<int32_t>* blk_tid = nullptr;
+  std::vector<int32_t>* blk_start = nullptr;
+  std::vector<int32_t>* blk_end = nullptr;
   SubTable sub;
 
+  // flat open-addressing cache over the series map: S() runs ~10 times
+  // per record, and a std::map lookup per call dominated the stats
+  // decode (measured ~470 ns/record before caching)
+  uint16_t skeys_[64];
+  const Codec* sptr_[64] = {};
+  bool scache_ok_ = false;
+  // per-tag-line resolved codecs: (tag0, tag1, typ, codec)
+  struct TagRef {
+    char t0, t1, typ;
+    const Codec* c;
+  };
+  std::vector<std::vector<TagRef>> tl_cache_;
+
+  void build_caches() {
+    if (h.series.size() <= 48) {
+      for (const auto& kv : h.series) {
+        int i = kv.first & 63;
+        while (sptr_[i]) i = (i + 1) & 63;
+        skeys_[i] = kv.first;
+        sptr_[i] = &kv.second;
+      }
+      scache_ok_ = true;
+    }
+    tl_cache_.resize(h.tag_dict.size());
+    for (size_t li = 0; li < h.tag_dict.size(); li++) {
+      for (const auto& tt : h.tag_dict[li]) {
+        uint32_t key = ((uint32_t)(uint8_t)tt.first[0] << 16) |
+                       ((uint32_t)(uint8_t)tt.first[1] << 8) |
+                       (uint8_t)tt.second;
+        auto it = h.tags.find(key);
+        tl_cache_[li].push_back(
+            {tt.first[0], tt.first[1], tt.second,
+             it == h.tags.end() ? nullptr : &it->second});
+      }
+    }
+  }
+
   const Codec& S(const char* key) {
-    auto it = h.series.find(skey(key));
+    uint16_t k = skey(key);
+    if (scache_ok_) {
+      int i = k & 63;
+      while (sptr_[i]) {
+        if (skeys_[i] == k) return *sptr_[i];
+        i = (i + 1) & 63;
+      }
+      throw DecodeError{};
+    }
+    auto it = h.series.find(k);
     if (it == h.series.end()) throw DecodeError{};
     return it->second;
   }
@@ -504,6 +650,7 @@ struct SliceDecoder {
 
   void decode_records(std::vector<Rec>& recs) {
     build_sub_table(h.sub_matrix, sub);
+    build_caches();
     int64_t last_pos = sl.start;
     // corrupt slice headers must not allocate gigabytes (the python
     // decoder bounds RL/FN identically)
@@ -526,13 +673,21 @@ struct SliceDecoder {
       }
       r.rg = (int32_t)dint("RG");
       if (h.rn_preserved) {
-        dbytes("RN", r.name);
+        if (stats_only) {
+          skip_bytes(S("RN"), ctx);
+        } else {
+          dbytes("RN", r.name);
+        }
         r.named = true;
       }
       if (r.cf & CF_DETACHED) {
         int64_t mf = dint("MF");
         if (!h.rn_preserved) {
-          dbytes("RN", r.name);
+          if (stats_only) {
+            skip_bytes(S("RN"), ctx);
+          } else {
+            dbytes("RN", r.name);
+          }
           r.named = true;
         }
         r.mate_tid = (int32_t)dint("NS");
@@ -545,31 +700,50 @@ struct SliceDecoder {
         r.has_nf = true;
       }
       int64_t tl = dint("TL");
-      if (tl < 0 || (size_t)tl >= h.tag_dict.size()) throw DecodeError{};
-      for (const auto& tt : h.tag_dict[(size_t)tl]) {
-        uint32_t key = ((uint32_t)(uint8_t)tt.first[0] << 16) |
-                       ((uint32_t)(uint8_t)tt.first[1] << 8) |
-                       (uint8_t)tt.second;
-        auto it = h.tags.find(key);
-        if (it == h.tags.end()) throw DecodeError{};
-        decode_bytes(it->second, ctx, tmp);
-        r.tags.push_back((uint8_t)tt.first[0]);
-        r.tags.push_back((uint8_t)tt.first[1]);
-        r.tags.push_back((uint8_t)tt.second);
+      if (tl < 0 || (size_t)tl >= tl_cache_.size()) throw DecodeError{};
+      for (const TagRef& tt : tl_cache_[(size_t)tl]) {
+        if (!tt.c) throw DecodeError{};
+        if (stats_only) {
+          // only NM's VALUE is consumed by the coverage scan; every
+          // other tag just advances its stream
+          if (tt.t0 == 'N' && tt.t1 == 'M') {
+            decode_bytes(*tt.c, ctx, tmp);
+            r.nm = parse_int_payload(tt.typ, tmp);
+          } else {
+            skip_bytes(*tt.c, ctx);
+          }
+          continue;
+        }
+        decode_bytes(*tt.c, ctx, tmp);
+        r.tags.push_back((uint8_t)tt.t0);
+        r.tags.push_back((uint8_t)tt.t1);
+        r.tags.push_back((uint8_t)tt.typ);
         r.tags.insert(r.tags.end(), tmp.begin(), tmp.end());
-        if (tt.first == "RG") r.has_rg_tag = true;
+        if (tt.t0 == 'R' && tt.t1 == 'G') r.has_rg_tag = true;
       }
 
-      r.seq.assign((size_t)r.rl, 'N');
-      r.qual.assign((size_t)r.rl, (char)0xff);
+      if (!stats_only) {
+        r.seq.assign((size_t)r.rl, 'N');
+        r.qual.assign((size_t)r.rl, (char)0xff);
+      }
       r.end = r.pos;
       if (!(r.flag & F_UNMAP)) {
         int64_t fn = dint("FN");
         if (fn < 0 || fn > (1 << 24)) throw DecodeError{};
+        if (blk_tid) {
+          if ((int64_t)blk_tid->size() > INT32_MAX) throw DecodeError{};
+          // the open-run sentinel is blk_open < 0: a negative mapped
+          // position cannot use the sink (pathological input -> the
+          // caller falls back to the python record model)
+          if (r.pos < 0) throw DecodeError{};
+          r.blk_lo = (int32_t)blk_tid->size();
+        }
         int64_t read_cur = 0, ref_cur = r.pos, fpos = 0;
         auto fill_match = [&](int64_t n) {
           // implicit match run (RR=1): bases from the reference
-          if (eref) {
+          if (stats_only) {
+            // coverage never reads base identity: cursors only
+          } else if (eref) {
             for (int64_t t = 0; t < n; t++) {
               int b = rbase(ref_cur + t);
               if (b >= 0)
@@ -583,7 +757,39 @@ struct SliceDecoder {
           read_cur += n;
           ref_cur += n;
         };
+        bool sink = blk_tid != nullptr;
+        int64_t blk_open = -1;  // 1-based ref pos of the open M-run
+        auto close_run = [&]() {
+          if (blk_open >= 0) {
+            if (ref_cur - 1 > INT32_MAX || blk_open - 1 < INT32_MIN)
+              throw DecodeError{};
+            blk_tid->push_back(r.tid);
+            blk_start->push_back((int32_t)(blk_open - 1));
+            blk_end->push_back((int32_t)(ref_cur - 1));
+            blk_open = -1;
+          }
+        };
         auto push = [&](uint8_t op, int64_t ln) {
+          if (sink) {
+            // blocks are maximal M/=/X runs; any other op (even a
+            // zero-length one, matching the CIGAR-merge semantics of
+            // the emission path) closes the open run.  push is always
+            // called BEFORE the op's ref_cur advance, so ref_cur here
+            // is the run end / the next run start.
+            if (op == 0 || op == 7 || op == 8) {
+              if (ln > 0) {
+                if (blk_open < 0) blk_open = ref_cur;
+                r.a_cov += ln;
+              }
+            } else {
+              close_run();
+              if (op == 1 || op == 2) {
+                r.a_cov += ln;
+                r.ind += ln;
+              }
+            }
+            return;
+          }
           if (!r.cigar.empty() && r.cigar.back().first == op)
             r.cigar.back().second += ln;
           else
@@ -601,8 +807,13 @@ struct SliceDecoder {
           switch (fc) {
             case 'B':
               if (read_cur >= r.rl) throw DecodeError{};
-              r.seq[(size_t)read_cur] = (char)dbyte("BA");
-              r.qual[(size_t)read_cur] = (char)dbyte("QS");
+              if (stats_only) {
+                dbyte("BA");
+                dbyte("QS");
+              } else {
+                r.seq[(size_t)read_cur] = (char)dbyte("BA");
+                r.qual[(size_t)read_cur] = (char)dbyte("QS");
+              }
               push(0, 1);
               read_cur++;
               ref_cur++;
@@ -610,14 +821,16 @@ struct SliceDecoder {
             case 'X': {
               if (read_cur >= r.rl) throw DecodeError{};
               int64_t code = dint("BS");
-              int rb = rbase(ref_cur);
-              if (rb >= 0) {
-                r.seq[(size_t)read_cur] =
-                    (code >= 0 && code < 4)
-                        ? (char)sub.tab[base_index((uint8_t)rb)][code]
-                        : 'N';
-              } else {
-                r.seq_incomplete = true;
+              if (!stats_only) {
+                int rb = rbase(ref_cur);
+                if (rb >= 0) {
+                  r.seq[(size_t)read_cur] =
+                      (code >= 0 && code < 4)
+                          ? (char)sub.tab[base_index((uint8_t)rb)][code]
+                          : 'N';
+                } else {
+                  r.seq_incomplete = true;
+                }
               }
               push(0, 1);
               read_cur++;
@@ -632,25 +845,43 @@ struct SliceDecoder {
               break;
             }
             case 'I': {
-              dbytes("IN", tmp);
-              if (read_cur + (int64_t)tmp.size() > r.rl) throw DecodeError{};
-              memcpy(&r.seq[(size_t)read_cur], tmp.data(), tmp.size());
-              push(1, (int64_t)tmp.size());
-              read_cur += (int64_t)tmp.size();
+              int64_t ln;
+              if (stats_only) {
+                ln = skip_bytes(S("IN"), ctx);
+                if (read_cur + ln > r.rl) throw DecodeError{};
+              } else {
+                dbytes("IN", tmp);
+                ln = (int64_t)tmp.size();
+                if (read_cur + ln > r.rl) throw DecodeError{};
+                memcpy(&r.seq[(size_t)read_cur], tmp.data(), tmp.size());
+              }
+              push(1, ln);
+              read_cur += ln;
               break;
             }
             case 'i':
               if (read_cur >= r.rl) throw DecodeError{};
-              r.seq[(size_t)read_cur] = (char)dbyte("BA");
+              if (stats_only) {
+                dbyte("BA");
+              } else {
+                r.seq[(size_t)read_cur] = (char)dbyte("BA");
+              }
               push(1, 1);
               read_cur++;
               break;
             case 'S': {
-              dbytes("SC", tmp);
-              if (read_cur + (int64_t)tmp.size() > r.rl) throw DecodeError{};
-              memcpy(&r.seq[(size_t)read_cur], tmp.data(), tmp.size());
-              push(4, (int64_t)tmp.size());
-              read_cur += (int64_t)tmp.size();
+              int64_t ln;
+              if (stats_only) {
+                ln = skip_bytes(S("SC"), ctx);
+                if (read_cur + ln > r.rl) throw DecodeError{};
+              } else {
+                dbytes("SC", tmp);
+                ln = (int64_t)tmp.size();
+                if (read_cur + ln > r.rl) throw DecodeError{};
+                memcpy(&r.seq[(size_t)read_cur], tmp.data(), tmp.size());
+              }
+              push(4, ln);
+              read_cur += ln;
               break;
             }
             case 'H':
@@ -667,22 +898,39 @@ struct SliceDecoder {
             }
             case 'Q':
               if (read_cur >= r.rl) throw DecodeError{};
-              r.qual[(size_t)read_cur] = (char)dbyte("QS");
+              if (stats_only) {
+                dbyte("QS");
+              } else {
+                r.qual[(size_t)read_cur] = (char)dbyte("QS");
+              }
               break;
             case 'b': {
-              dbytes("BB", tmp);
-              if (read_cur + (int64_t)tmp.size() > r.rl) throw DecodeError{};
-              memcpy(&r.seq[(size_t)read_cur], tmp.data(), tmp.size());
-              push(0, (int64_t)tmp.size());
-              read_cur += (int64_t)tmp.size();
-              ref_cur += (int64_t)tmp.size();
+              int64_t ln;
+              if (stats_only) {
+                ln = skip_bytes(S("BB"), ctx);
+                if (read_cur + ln > r.rl) throw DecodeError{};
+              } else {
+                dbytes("BB", tmp);
+                ln = (int64_t)tmp.size();
+                if (read_cur + ln > r.rl) throw DecodeError{};
+                memcpy(&r.seq[(size_t)read_cur], tmp.data(), tmp.size());
+              }
+              push(0, ln);
+              read_cur += ln;
+              ref_cur += ln;
               break;
             }
             case 'q': {
-              dbytes("QQ", tmp);
-              if (read_cur + (int64_t)tmp.size() > r.rl) throw DecodeError{};
-              memcpy(&r.qual[(size_t)read_cur], tmp.data(), tmp.size());
-              read_cur += 0;  // q does not advance the read cursor
+              if (stats_only) {
+                int64_t ln = skip_bytes(S("QQ"), ctx);
+                if (read_cur + ln > r.rl) throw DecodeError{};
+              } else {
+                dbytes("QQ", tmp);
+                if (read_cur + (int64_t)tmp.size() > r.rl)
+                  throw DecodeError{};
+                memcpy(&r.qual[(size_t)read_cur], tmp.data(), tmp.size());
+              }
+              // q does not advance the read cursor
               break;
             }
             default:
@@ -694,6 +942,11 @@ struct SliceDecoder {
           push(0, tail);
           fill_match(tail);
         }
+        if (sink) {
+          close_run();
+          r.blk_hi = (int32_t)blk_tid->size();
+          r.end = ref_cur - 1;  // 0-based inclusive end (mates/tlen)
+        }
         // drop zero-length ops (python filters ln > 0)
         size_t w = 0;
         for (size_t k2 = 0; k2 < r.cigar.size(); k2++)
@@ -702,13 +955,24 @@ struct SliceDecoder {
         r.mapq = (int32_t)dint("MQ");
       } else {
         if (!(r.cf & CF_NO_SEQ)) {
-          for (int64_t k2 = 0; k2 < r.rl; k2++)
-            r.seq[(size_t)k2] = (char)dbyte("BA");
+          const Codec& ba = S("BA");
+          if (stats_only && ba.kind == 1) {
+            ctx.stream(ba.cid).skip_n(r.rl);  // pointer bump, no copy
+          } else if (stats_only) {
+            for (int64_t k2 = 0; k2 < r.rl; k2++) decode_byte(ba, ctx);
+          } else {
+            for (int64_t k2 = 0; k2 < r.rl; k2++)
+              r.seq[(size_t)k2] = (char)dbyte("BA");
+          }
         }
       }
       if (r.cf & CF_QS_STORED) {
         const Codec& qs = S("QS");
-        if (qs.kind == 1) {
+        if (stats_only && qs.kind == 1) {
+          ctx.stream(qs.cid).skip_n(r.rl);  // the big one: rl bytes/rec
+        } else if (stats_only) {
+          for (int64_t k2 = 0; k2 < r.rl; k2++) decode_byte(qs, ctx);
+        } else if (qs.kind == 1) {
           ctx.stream(qs.cid).read_n(r.rl, tmp);
           r.qual.assign(tmp);
         } else {
@@ -716,25 +980,34 @@ struct SliceDecoder {
             r.qual[(size_t)k2] = (char)decode_byte(qs, ctx);
         }
       }
-      if (r.cf & CF_NO_SEQ) r.seq.assign((size_t)r.rl, 'N');
-      int64_t consumed = 0;
-      for (const auto& ol : r.cigar)
-        if (REF_CONSUME_MASK[ol.first]) consumed += ol.second;
-      r.end = r.pos - 1 + consumed;  // 0-based inclusive end (mapped)
+      if (!stats_only && (r.cf & CF_NO_SEQ))
+        r.seq.assign((size_t)r.rl, 'N');
+      if (!(blk_tid && !(r.flag & F_UNMAP))) {
+        // sink mode computed r.end from ref_cur during the walk
+        int64_t consumed = 0;
+        for (const auto& ol : r.cigar)
+          if (REF_CONSUME_MASK[ol.first]) consumed += ol.second;
+        r.end = r.pos - 1 + consumed;  // 0-based inclusive end (mapped)
+      }
     }
   }
 };
 
-// mirror of io/cram.py _resolve_mates
-static void resolve_mates(std::vector<Rec>& recs, const SliceHeader& sl) {
+// mirror of io/cram.py _resolve_mates; stats_only skips name synthesis
+// (the coverage scan never reads names — only the mate FLAG bits and
+// positions matter there)
+static void resolve_mates(std::vector<Rec>& recs, const SliceHeader& sl,
+                          bool stats_only = false) {
   char buf[32];
-  for (size_t i = 0; i < recs.size(); i++) {
-    // generate only for truly unnamed records (python: `name is None`;
-    // an RN-decoded EMPTY name stays empty for byte parity)
-    if (!recs[i].named) {
-      int n = snprintf(buf, sizeof(buf), "cr%lld",
-                       (long long)(sl.record_counter + (int64_t)i));
-      recs[i].name.assign(buf, (size_t)n);
+  if (!stats_only) {
+    for (size_t i = 0; i < recs.size(); i++) {
+      // generate only for truly unnamed records (python: `name is
+      // None`; an RN-decoded EMPTY name stays empty for byte parity)
+      if (!recs[i].named) {
+        int n = snprintf(buf, sizeof(buf), "cr%lld",
+                         (long long)(sl.record_counter + (int64_t)i));
+        recs[i].name.assign(buf, (size_t)n);
+      }
     }
   }
   for (size_t i = 0; i < recs.size(); i++) {
@@ -945,5 +1218,185 @@ void ct_cram_out(void* handle, uint8_t* dst) {
 }
 
 void ct_cram_free(void* handle) { delete (cram::Result*)handle; }
+
+// Decode one slice DIRECTLY into the fused-scan stats model (VERDICT r4
+// #2): no BAM wire bytes, no re-scan — names/bases/qualities are stream
+// skips, only flags/positions/CIGAR/NM are decoded, and the result is a
+// StatsScanState handle identical to ct_stats_scan's, consumed by
+// ct_stats_fill / ct_stats_free.  scalars match ct_stats_scan's layout
+// ([0] n_records, [2] n_blocks, [3] n_primary, [4] nm_missing,
+// [5] sorted, [6] first_tid, [7] last_tid).  Returns null on ANY decode
+// problem — the caller falls back to the python record model for the
+// slice, which raises CramFormatError loudly on real corruption.
+void* ct_cram_stats_slice(const uint8_t* comp_hdr, int64_t comp_len,
+                          const uint8_t* slice_hdr, int64_t slice_len,
+                          const uint8_t* core, int64_t core_len,
+                          const uint8_t* ext_buf, const int64_t* ext_off,
+                          const int64_t* ext_sizes,
+                          const int64_t* ext_ids, int64_t n_ext,
+                          int32_t n_ref, int32_t skip_mask,
+                          int32_t req_mask, int64_t* scalars) {
+  using namespace cram;
+  auto* st = new covermio::StatsScanState();
+  for (int i = 0; i < 11; i++) scalars[i] = 0;
+  try {
+    CompHeader h;
+    Buf cb{comp_hdr, comp_len, 0};
+    parse_comp_header(cb, h);
+    SliceHeader sl;
+    Buf sb{slice_hdr, slice_len, 0};
+    parse_slice_header(sb, sl);
+
+    Ctx ctx;
+    ctx.core.d = core;
+    ctx.core.n = core_len;
+    for (int64_t i = 0; i < n_ext; i++) {
+      ExtStream es;
+      int64_t present = ext_off[i + 1] - ext_off[i];
+      // size-only stream (never-read block left compressed): d null,
+      // n = the uncompressed size so skip_n stays in lockstep
+      es.d = present > 0 ? ext_buf + ext_off[i] : nullptr;
+      es.n = ext_sizes[i];
+      ctx.ext[(int32_t)ext_ids[i]] = es;
+    }
+
+    st->chunks.resize(1);
+    covermio::ChunkOut& out = st->chunks[0];
+
+    SliceDecoder dec{h, sl, ctx, nullptr, 0};
+    dec.stats_only = true;
+    // block-sink fast path: blocks land in the output arrays DURING
+    // decode (no CIGAR vectors).  Invalid when the flag gate reads the
+    // mate bits (0x8/0x20) resolved only after decode — no FlagFilter
+    // does today, but stay correct for direct callers.
+    bool fast = ((skip_mask | req_mask) & (F_MREVERSE | F_MUNMAP)) == 0;
+    if (fast) {
+      dec.blk_tid = &out.btid;
+      dec.blk_start = &out.bstart;
+      dec.blk_end = &out.bend;
+    } else {
+      out.btid.reserve((size_t)sl.n_records);
+      out.bstart.reserve((size_t)sl.n_records);
+      out.bend.reserve((size_t)sl.n_records);
+    }
+    std::vector<Rec> recs;
+    dec.decode_records(recs);
+    resolve_mates(recs, sl, /*stats_only=*/true);
+
+    covermio::StatsRun run{};
+    int32_t cur_tid = -2, prev_tid = -1;
+    int64_t wblk = 0;  // fast path: compaction write cursor
+    auto flush = [&]() {
+      if (cur_tid >= 0) out.runs.push_back(run);
+    };
+    for (const Rec& r : recs) {
+      bool primary = (r.flag & 0x900) == 0;
+      out.n_primary += primary;
+      bool mapped = (r.flag & 0x4) == 0;
+      bool pass = ((r.flag & skip_mask) == 0) &&
+                  ((r.flag & req_mask) == req_mask);
+      if (!(pass && mapped)) continue;
+      if (r.tid < 0 || r.tid >= n_ref) throw DecodeError{};
+      int64_t pos0 = r.pos - 1;
+      if (pos0 < INT32_MIN || pos0 > INT32_MAX) throw DecodeError{};
+      if (out.first_tid < 0) out.first_tid = r.tid;
+      if (r.tid < prev_tid) out.sorted = false;
+      prev_tid = r.tid;
+      out.last_tid = r.tid;
+      if (r.tid != cur_tid) {
+        flush();
+        run = covermio::StatsRun{};
+        run.tid = r.tid;
+        cur_tid = r.tid;
+      }
+      bool nonsupp = (r.flag & 0x800) == 0;
+      run.reads_all++;
+      run.reads_primary += primary;
+      run.reads_nonsupp += nonsupp;
+
+      int64_t a_cov, ind;
+      if (fast) {
+        // blocks already in the sink; keep-copy this (passing)
+        // record's range over the dropped ones
+        int64_t lo = r.blk_lo, n = (int64_t)r.blk_hi - r.blk_lo;
+        if (wblk != lo && n) {
+          memmove(out.btid.data() + wblk, out.btid.data() + lo, n * 4);
+          memmove(out.bstart.data() + wblk, out.bstart.data() + lo,
+                  n * 4);
+          memmove(out.bend.data() + wblk, out.bend.data() + lo, n * 4);
+        }
+        wblk += n;
+        run.block_count += n;
+        a_cov = r.a_cov;
+        ind = r.ind;
+      } else {
+        a_cov = ind = 0;
+        int64_t cursor = pos0;
+        for (const auto& ol : r.cigar) {
+          int64_t ln = ol.second;
+          switch (ol.first) {
+            case 0:
+            case 7:
+            case 8:  // M / = / X
+              out.btid.push_back(r.tid);
+              out.bstart.push_back((int32_t)cursor);
+              out.bend.push_back((int32_t)(cursor + ln));
+              run.block_count++;
+              a_cov += ln;
+              cursor += ln;
+              break;
+            case 1:  // I
+              a_cov += ln;
+              ind += ln;
+              break;
+            case 2:  // D
+              a_cov += ln;
+              ind += ln;
+              cursor += ln;
+              break;
+            case 3:  // N
+              cursor += ln;
+              break;
+            default:  // S/H/P
+              break;
+          }
+          if (cursor > INT32_MAX) throw DecodeError{};
+        }
+      }
+      run.indel_sum += ind;
+      if (r.nm < 0) {
+        out.nm_missing++;  // the caller raises before any result is used
+      } else {
+        run.nm_sum += r.nm;
+        if (a_cov > 0) {
+          double idv = (double)(a_cov - r.nm) / (double)a_cov;
+          run.ident_primary += primary ? idv : 0.0;
+          run.ident_nonsupp += nonsupp ? idv : 0.0;
+        }
+      }
+    }
+    flush();
+    if (fast) {
+      out.btid.resize((size_t)wblk);
+      out.bstart.resize((size_t)wblk);
+      out.bend.resize((size_t)wblk);
+    }
+
+    st->n_chunks = 1;
+    st->n_records = (int64_t)recs.size();
+    st->n_blocks = (int64_t)out.btid.size();
+    scalars[0] = st->n_records;
+    scalars[2] = st->n_blocks;
+    scalars[3] = out.n_primary;
+    scalars[4] = out.nm_missing;
+    scalars[5] = out.sorted ? 1 : 0;
+    scalars[6] = out.first_tid;
+    scalars[7] = out.last_tid;
+    return st;
+  } catch (...) {
+    delete st;
+    return nullptr;
+  }
+}
 
 }  // extern "C"
