@@ -37,8 +37,9 @@ def main():
 
     devs = jax.devices()
     print(f"{len(devs)} devices ({devs[0].platform})")
-    S, B = 2, 400_000
-    REPS = 5
+    S = 2
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     TRIM = (0.05, 0.95)
     rng = np.random.default_rng(0)
     C, L, RL = 32, 1_000_000, 150
