@@ -194,9 +194,14 @@ def pallas_sweep_scan(seg, pos, sign, paylen, next_seg, next_pos, ee,
     shape2d = (E // LANES, LANES)
     args = [x.reshape(shape2d) for x in
             (seg, pos, sign, paylen, next_seg, next_pos)]
-    in_specs = [pl.BlockSpec((ROWS, LANES), lambda t: (t, 0))
+    # index maps must return a SINGLE integer type: with jax_enable_x64
+    # on (this module enables it for the i64 cumsums), a literal 0 traces
+    # as i64 while program_id is i32, and Mosaic fails to legalize the
+    # mixed (i32, i64) func.return on the real TPU toolchain.  t * 0
+    # keeps both components i32.
+    in_specs = [pl.BlockSpec((ROWS, LANES), lambda t: (t, t * 0))
                 for _ in range(6)]
-    out_specs = [pl.BlockSpec((ROWS, LANES), lambda t: (t, 0))
+    out_specs = [pl.BlockSpec((ROWS, LANES), lambda t: (t, t * 0))
                  for _ in range(5)]
     out_shape = [jax.ShapeDtypeStruct(shape2d, jnp.int32) for _ in range(5)]
     outs = pl.pallas_call(
