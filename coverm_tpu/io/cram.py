@@ -1540,9 +1540,7 @@ def stats_skippable_cids(comp) -> set:
             (needed if value_needed else skippable).add(c.content_id)
 
     for key, c in comp.series.items():
-        if key in ("QS", "BA"):
-            mark_bytes(c, value_needed=False)
-        elif key in _SKIP_BYTE_SERIES:
+        if key in ("QS", "BA") or key in _SKIP_BYTE_SERIES:
             mark_bytes(c, value_needed=False)
         else:
             mark_int(c)
@@ -1599,12 +1597,29 @@ def iter_cram_slice_blocks(raw, p, lazy_skippable: bool = False):
                 lazy = (ct == CT_EXTERNAL and cid in skip_cids
                         and cid != sl.embedded_ref_id)
                 if lazy:
-                    # a skipped block is never decompressed, so its only
-                    # integrity check is the CRC tail (verified over the
-                    # COMPRESSED body — cheap); a zero CRC is tolerated
+                    # a skipped block is never decompressed, so it must
+                    # be bounds-checked HERE: python slicing silently
+                    # truncates past EOF, and a truncated tail block
+                    # would otherwise pass (the decompressing path
+                    # catches this via the raw-size mismatch)
+                    if q > len(raw):
+                        raise CramFormatError(
+                            "Truncated CRAM file (block extends past "
+                            "end of file)")
+                    # ...and its only integrity check is the CRC tail
+                    # (verified over the COMPRESSED body — cheap,
+                    # zero-copy via a memoryview scoped to this block:
+                    # a longer-lived view over an mmap would block the
+                    # caller's mm.close()); a zero CRC is tolerated
                     # like everywhere else (some writers emit zeros)
-                    stored = int.from_bytes(bytes(raw[q - 4:q]), "little")
-                    if stored and zlib.crc32(bytes(raw[q0:q - 4])) != stored:
+                    mv = memoryview(raw)
+                    try:
+                        stored = int.from_bytes(mv[q - 4:q], "little")
+                        bad = stored and \
+                            zlib.crc32(mv[q0:q - 4]) != stored
+                    finally:
+                        mv.release()
+                    if bad:
                         raise CramFormatError(
                             f"CRAM block CRC mismatch (content id {cid})")
                 hdrs.append([m, ct, cid, rw, rs, None, lazy])

@@ -1274,14 +1274,17 @@ void* ct_cram_stats_slice(const uint8_t* comp_hdr, int64_t comp_len,
       dec.blk_tid = &out.btid;
       dec.blk_start = &out.bstart;
       dec.blk_end = &out.bend;
-    } else {
-      out.btid.reserve((size_t)sl.n_records);
-      out.bstart.reserve((size_t)sl.n_records);
-      out.bend.reserve((size_t)sl.n_records);
     }
     std::vector<Rec> recs;
-    dec.decode_records(recs);
+    dec.decode_records(recs);  // validates sl.n_records <= 2^24
     resolve_mates(recs, sl, /*stats_only=*/true);
+    if (!fast) {
+      // reserve only AFTER the record-count bound held (a corrupt
+      // header must not drive multi-GB reserves)
+      out.btid.reserve(recs.size());
+      out.bstart.reserve(recs.size());
+      out.bend.reserve(recs.size());
+    }
 
     covermio::StatsRun run{};
     int32_t cur_tid = -2, prev_tid = -1;

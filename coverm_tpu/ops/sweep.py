@@ -933,6 +933,12 @@ def prewarm_sweep(n_blocks: int, n_contigs: int, ee: int,
                     start_mode))
         t.seconds = _time.perf_counter() - t0
 
+    # Deliberately NON-daemon: tearing a daemon thread down mid-XLA-
+    # compile at interpreter exit aborts the process (glibc 'FATAL:
+    # exception not rethrown' -> SIGABRT, found by test_fastscan CLI
+    # parity).  _pick_shape's background compiles therefore delay exit
+    # until they finish — they only spawn mid-stream, so the common case
+    # completes long before exit, and a slow exit beats a crashing one.
     t = threading.Thread(target=run, name=f"prewarm-sweep-{B}")
     t.sig = (B, n_seg, len_mode, start_mode, bool(need_hist),
              trim_key is not None)

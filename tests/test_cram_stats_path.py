@@ -223,6 +223,29 @@ def test_cli_byte_parity(tmp_path):
     assert outs[0] == outs[1]
 
 
+def test_truncated_tail_raises_both_routes(tmp_path):
+    """A file cut inside the final slice's SKIPPABLE stream (e.g. the
+    quality block) must still fail loudly on the direct route: lazy
+    blocks are never decompressed, so the bounds check + CRC are their
+    only integrity gate (code-review r5 finding — the pre-fix direct
+    route silently returned full results here)."""
+    from coverm_tpu.io.bam import BamFormatError
+
+    raw = sam_to_cram_bytes(iter(_sam_lines(200)), records_per_slice=200)
+    for cut_back in (10, 25, 40, 60):
+        path = _write(tmp_path, raw[:len(raw) - len(b"") - 38 - cut_back],
+                      f"t{cut_back}.cram")
+        outcomes = []
+        for env in ({}, {"COVERM_TPU_CRAM_STATS": "0"}):
+            try:
+                _scan(path, env=env)
+                outcomes.append("ok")
+            except BamFormatError:
+                outcomes.append("error")
+        assert outcomes[0] == outcomes[1], (cut_back, outcomes)
+        assert outcomes[0] == "error", cut_back
+
+
 def test_mutation_outcome_agreement(tmp_path):
     """Random byte damage: the direct route must NEVER be looser than
     the legacy route — it may be STRICTER (skipped blocks are CRC-
