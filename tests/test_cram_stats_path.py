@@ -206,6 +206,54 @@ def test_adversarial_codec_styles(tmp_path):
                 _scan(path, env=env)
 
 
+def test_mesh_depth_fn_over_cram(tmp_path):
+    """The direct-stats route drives the contig-sharded mesh engine too
+    (scan_any passes depth_fn through): 8-virtual-device mesh result
+    must equal the single-device scan bit for bit."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    from coverm_tpu.parallel.mesh_sweep import make_shard_mesh, \
+        mesh_depth_fn
+
+    raw = sam_to_cram_bytes(iter(_sam_lines(400)), records_per_slice=64)
+    path = _write(tmp_path, raw)
+    single, used = _scan(path)
+    assert used
+    s = FusedScanStream(path)
+    h = s.open()
+    layout = ReferenceLayout.build(h.target_lens, 75)
+    meshed = scan_sample_fused(h, s, layout, FlagFilter(), False,
+                               trim=(0.1, 0.9),
+                               depth_fn=mesh_depth_fn(make_shard_mesh()))
+    assert_scan_equal(single, meshed)
+
+
+def test_cli_genome_mode_byte_parity(tmp_path):
+    """Genome mode over CRAM: direct vs legacy routes byte-identical."""
+    raw = sam_to_cram_bytes(iter(_sam_lines(300)), records_per_slice=64)
+    path = _write(tmp_path, raw)
+    outs = []
+    for env in ({}, {"COVERM_TPU_CRAM_STATS": "0"}):
+        e = {**os.environ, "COVERM_TPU_PLATFORM": "cpu", **env}
+        r = subprocess.run(
+            [sys.executable, "-m", "coverm_tpu", "genome", "-b", path,
+             "--genome-definition", _genome_def(tmp_path),
+             "-m", "mean", "relative_abundance", "covered_fraction"],
+            capture_output=True, env=e, timeout=600)
+        assert r.returncode == 0, r.stderr.decode()
+        outs.append(r.stdout)
+    assert outs[0] == outs[1]
+
+
+def _genome_def(tmp_path):
+    p = str(tmp_path / "genomes.tsv")
+    with open(p, "w") as f:
+        f.write("gA\tc0\ngA\tc1\ngB\tc2\n")
+    return p
+
+
 def test_cli_byte_parity(tmp_path):
     raw = sam_to_cram_bytes(iter(_sam_lines(300)), records_per_slice=64)
     path = _write(tmp_path, raw)
