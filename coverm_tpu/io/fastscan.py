@@ -341,6 +341,37 @@ def scan_sample_fused(header, stream: FusedScanStream, layout, flag_filter,
     pendings = []
     carry = []       # [(btid, bstart, bend)] chunks of the open contig
     carry_tid = -1
+    # Cold-start gate: when the FIRST dispatch's kernel family is not
+    # warm, its compile/load (45-390 s on a degraded remote compile
+    # service) would stall the whole ingest pipeline behind one jit
+    # call.  Instead the compile runs on a background thread while
+    # block chunks queue (12 B/block, capped); once it lands, the queue
+    # flushes and dispatch order — and therefore the deterministic
+    # accumulator chain — is preserved.  Cold start then costs
+    # max(kernel load, host decode), not their sum.
+    gate = {"thread": None, "checked": False, "queued": 0}
+    gate_cap = int(os.environ.get("COVERM_TPU_COLD_QUEUE_BLOCKS",
+                                  32 << 20))
+    queue = []
+
+    def _dispatch_now(bt, bs, be, counts):
+        pendings.append(compute_depth_stats_sweep(
+            layout, bt, bs, be, need_hist=need_hist, trim=trim,
+            need_max=False, deferred=True, acc=dep_acc,
+            contig_counts=counts))
+
+    def _flush_gate(final=False):
+        t = gate["thread"]
+        if t is None:
+            return
+        if t.is_alive():
+            if not final and gate["queued"] < gate_cap:
+                return
+            t.join()  # cap hit or stream ended: wait the compile out
+        gate["thread"] = None
+        for bt, bs, be, counts in queue:
+            _dispatch_now(bt, bs, be, counts)
+        queue.clear()
 
     def dispatch(chunks, counts=None):
         if not chunks:
@@ -358,10 +389,19 @@ def scan_sample_fused(header, stream: FusedScanStream, layout, flag_filter,
                                      need_hist=need_hist, trim=trim,
                                      need_max=False, deferred=True))
             return
-        pendings.append(compute_depth_stats_sweep(
-            layout, bt, bs, be, need_hist=need_hist, trim=trim,
-            need_max=False, deferred=True, acc=dep_acc,
-            contig_counts=counts))
+        if not gate["checked"]:
+            gate["checked"] = True
+            from ..ops.sweep import dispatch_shape, prewarm_sweep
+            warm, kw = dispatch_shape(layout, bt, bs, be, need_hist,
+                                      trim, contig_counts=counts)
+            if not warm and kw is not None:
+                gate["thread"] = prewarm_sweep(**kw)
+        if gate["thread"] is not None:
+            queue.append((bt, bs, be, counts))
+            gate["queued"] += bt.size
+            _flush_gate()
+            return
+        _dispatch_now(bt, bs, be, counts)
 
     def seg_blocks():
         """Yield (btid, bstart, bend) per segment, updating `stats`."""
@@ -471,6 +511,7 @@ def scan_sample_fused(header, stream: FusedScanStream, layout, flag_filter,
                 carry_counts += seg_counts
         carry_tid = last
     dispatch(carry, carry_counts)
+    _flush_gate(final=True)
 
     dep_acc.start_fetch()
     for p in pendings:

@@ -948,6 +948,49 @@ def prewarm_sweep(n_blocks: int, n_contigs: int, ee: int,
     return t
 
 
+def dispatch_shape(layout: ReferenceLayout, tids, starts, ends,
+                   need_hist: bool, trim=None, contig_counts=None):
+    """(warm, prewarm_kwargs) for the kernel compute_depth_stats_sweep
+    would dispatch these blocks on — WITHOUT dispatching.
+
+    Lets a streaming caller overlap the first family-cold kernel
+    compile/load (45-390 s on a degraded remote compile service) with
+    the rest of its host ingest: start prewarm_sweep(**kwargs) in the
+    background and queue block chunks until it lands.  Mirrors the
+    dispatcher's own mode choices (bucketing, payload, start deltas) so
+    the compiled shape is exactly the one later dispatches hit."""
+    tids = np.asarray(tids)
+    starts = np.asarray(starts)
+    ends = np.asarray(ends)
+    C = layout.n_contigs
+    if tids.size == 0 or C == 0 or _use_pallas():
+        return True, None
+    (tids, starts, ends, _seg_ids, n_seg, _sl, _n_out, _obs,
+     counts) = prep_segments(layout, tids, starts, ends,
+                             contig_counts=contig_counts)
+    len_mode, _scalar, _vals = choose_payload(layout, tids, starts, ends)
+    start_mode = "abs"
+    if tids.size > (1 << 14):
+        _d, _f, mode = encode_start_deltas(starts, counts, tids.size)
+        if mode is not None:
+            start_mode = mode
+    ee = layout.contig_end_exclusion
+    trim_key = (float(trim[0]), float(trim[1])) if trim is not None else None
+    B = _bucket_geo(tids.size)
+    exact = _shape_key(B, n_seg, ee, need_hist, SPEC_HIST_BINS, len_mode,
+                       trim_key, start_mode)
+    with _shape_lock:
+        warm = exact in _warm_shapes or any(
+            k[1:] == exact[1:] and B <= k[0] <= _REUSE_CAP * B
+            for k in _warm_shapes)
+    # n_seg is already bucketed and _bucket is idempotent, so passing it
+    # as prewarm's n_contigs reproduces the same kernel signature
+    kwargs = dict(n_blocks=tids.size, n_contigs=n_seg, ee=ee,
+                  need_hist=need_hist, trim=trim_key, len_mode=len_mode,
+                  start_mode=start_mode)
+    return warm, kwargs
+
+
 def compute_depth_stats_sweep(layout: ReferenceLayout, tids, starts, ends,
                               need_hist: bool = False, trim=None,
                               need_max: bool = True, deferred: bool = False,

@@ -87,7 +87,53 @@ def test_pick_disabled_by_env(clean_registry, monkeypatch):
     assert _pick(1024) == 1024
 
 
-def test_coarse_dispatch_bit_identical(monkeypatch):
+def test_cold_gate_queues_and_matches(tmp_path, monkeypatch):
+    """Family-cold first dispatch: the fused scan must queue block
+    chunks behind the background compile (cold start = max(load,
+    decode), not the sum) and produce a bit-identical result."""
+    import threading
+
+    from coverm_tpu.flags import FlagFilter
+    from coverm_tpu.io.fastscan import (FusedScanStream, fused_available,
+                                        scan_sample_fused)
+    from test_fastscan import assert_scan_equal
+    from test_streaming import make_bam
+
+    if not fused_available():
+        pytest.skip("native fused scan unavailable")
+    path = make_bam(str(tmp_path / "g.bam"), n_contigs=6, n_reads=5000)
+
+    def scan():
+        s = FusedScanStream(path, target_bytes=1 << 14)
+        h = s.open()
+        layout = ReferenceLayout.build(h.target_lens, 75)
+        return scan_sample_fused(h, s, layout, FlagFilter(), False,
+                                 trim=(0.1, 0.9))
+
+    warm_ref = scan()  # everything warm after this
+
+    # simulate a SLOW first compile: a fake prewarm thread that stays
+    # alive until released, so several dispatches queue behind the gate
+    release = threading.Event()
+    spawned = []
+
+    def fake_prewarm(**kw):
+        t = threading.Thread(target=release.wait)
+        t.start()
+        spawned.append(kw)
+        return t
+
+    monkeypatch.setattr(sweep, "prewarm_sweep", fake_prewarm)
+    monkeypatch.setattr(sweep, "dispatch_shape",
+                        lambda *a, **k: (False, {"n_blocks": 1}))
+    # release the gate shortly after the scan starts queueing
+    threading.Timer(0.2, release.set).start()
+    try:
+        cold = scan()
+    finally:
+        release.set()
+    assert spawned, "gate never engaged"
+    assert_scan_equal(cold, warm_ref)
     """End to end: force a dispatch onto an 8x larger shape and compare
     against the numpy oracle — padding blocks must contribute nothing."""
     rng = np.random.default_rng(5)
