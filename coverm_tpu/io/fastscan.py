@@ -391,11 +391,14 @@ def scan_sample_fused(header, stream: FusedScanStream, layout, flag_filter,
             return
         if not gate["checked"]:
             gate["checked"] = True
-            from ..ops.sweep import dispatch_shape, prewarm_sweep
-            warm, kw = dispatch_shape(layout, bt, bs, be, need_hist,
-                                      trim, contig_counts=counts)
-            if not warm and kw is not None:
-                gate["thread"] = prewarm_sweep(**kw)
+            try:
+                from ..ops.sweep import dispatch_shape, prewarm_sweep
+                warm, kw = dispatch_shape(layout, bt, bs, be, need_hist,
+                                          trim, contig_counts=counts)
+                if not warm and kw is not None:
+                    gate["thread"] = prewarm_sweep(**kw)
+            except Exception:  # best-effort: fall back to blocking
+                gate["thread"] = None
         if gate["thread"] is not None:
             queue.append((bt, bs, be, counts))
             gate["queued"] += bt.size
