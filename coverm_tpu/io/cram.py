@@ -1526,9 +1526,17 @@ def stats_skippable_cids(comp) -> set:
         elif isinstance(c, ByteArrayLenCodec):  # defensive: not an int
             mark_bytes(c, True)
 
-    def mark_bytes(c, value_needed):
+    def mark_bytes(c, value_needed, length_needed=True):
         if isinstance(c, ByteArrayStopCodec):
-            needed.add(c.content_id)
+            # finding the stop terminator needs the bytes — UNLESS
+            # neither the value nor even the LENGTH is consumed (RN:
+            # the stats decode uses a read name for nothing at all), in
+            # which case the whole stream can stay compressed and the
+            # native decoder no-ops the read
+            if value_needed or length_needed:
+                needed.add(c.content_id)
+            else:
+                skippable.add(c.content_id)
         elif isinstance(c, ByteArrayLenCodec):
             mark_int(c.len_codec)
             v = c.val_codec
@@ -1540,7 +1548,11 @@ def stats_skippable_cids(comp) -> set:
             (needed if value_needed else skippable).add(c.content_id)
 
     for key, c in comp.series.items():
-        if key in ("QS", "BA") or key in _SKIP_BYTE_SERIES:
+        if key == "RN":
+            # name length feeds nothing in the stats decode
+            mark_bytes(c, value_needed=False, length_needed=False)
+        elif key in ("QS", "BA") or key in _SKIP_BYTE_SERIES:
+            # IN/SC/BB lengths ARE the CIGAR lengths: length_needed
             mark_bytes(c, value_needed=False)
         else:
             mark_int(c)

@@ -257,6 +257,12 @@ static uint8_t decode_byte(const Codec& c, Ctx& ctx) {
   return (uint8_t)decode_int(c, ctx);
 }
 
+// Skip a read NAME: its bytes AND length feed nothing in the stats
+// decode, so a BYTE_ARRAY_STOP name stream that was left compressed
+// (size-only, d null) is simply not read at all — the stream has no
+// other consumer to fall out of lockstep with.
+static void skip_name(const Codec& c, Ctx& ctx);
+
 // Consume a byte-array series without materialising it; returns the
 // byte count (the CIGAR length of IN/SC/BB features).
 static int64_t skip_bytes(const Codec& c, Ctx& ctx) {
@@ -274,6 +280,16 @@ static int64_t skip_bytes(const Codec& c, Ctx& ctx) {
     return n;
   }
   throw DecodeError{};
+}
+
+static void skip_name(const Codec& c, Ctx& ctx) {
+  if (c.kind == 5) {
+    ExtStream& s = ctx.stream(c.cid);
+    if (s.d == nullptr) return;  // size-only: never read, no-op
+    s.skip_until(c.stop);
+    return;
+  }
+  skip_bytes(c, ctx);
 }
 
 static void decode_bytes(const Codec& c, Ctx& ctx, std::string& out) {
@@ -674,7 +690,7 @@ struct SliceDecoder {
       r.rg = (int32_t)dint("RG");
       if (h.rn_preserved) {
         if (stats_only) {
-          skip_bytes(S("RN"), ctx);
+          skip_name(S("RN"), ctx);
         } else {
           dbytes("RN", r.name);
         }
@@ -684,7 +700,7 @@ struct SliceDecoder {
         int64_t mf = dint("MF");
         if (!h.rn_preserved) {
           if (stats_only) {
-            skip_bytes(S("RN"), ctx);
+            skip_name(S("RN"), ctx);
           } else {
             dbytes("RN", r.name);
           }
