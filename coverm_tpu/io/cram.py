@@ -1512,11 +1512,14 @@ _SKIP_BYTE_SERIES = ("RN", "IN", "SC", "BB", "QQ")
 def stats_skippable_cids(comp) -> set:
     """External content ids the direct stats decode never READS.
 
-    Size-only consumption: EXTERNAL byte sources of QS/BA (skip_n) and
+    Size-only consumption: EXTERNAL byte sources of QS/BA (skip_n),
     BYTE_ARRAY_LEN value streams of name/base/quality series and of
-    non-NM tags (length from the len stream, then skip_n).  A
-    BYTE_ARRAY_STOP stream is NEVER skippable — finding the terminator
-    requires the bytes.  Any cid also referenced by a needed consumer
+    non-NM tags (length from the len stream, then skip_n), and the RN
+    name stream even when BYTE_ARRAY_STOP-coded — a name's bytes AND
+    length feed nothing, so the native decoder no-ops the read
+    entirely.  Every OTHER BYTE_ARRAY_STOP stream stays needed (finding
+    the terminator requires the bytes, and for IN/SC/BB the length IS
+    the CIGAR length).  Any cid also referenced by a needed consumer
     stays needed."""
     needed, skippable = set(), set()
 

@@ -350,8 +350,11 @@ def scan_sample_fused(header, stream: FusedScanStream, layout, flag_filter,
     # accumulator chain — is preserved.  Cold start then costs
     # max(kernel load, host decode), not their sum.
     gate = {"thread": None, "checked": False, "queued": 0}
-    gate_cap = int(os.environ.get("COVERM_TPU_COLD_QUEUE_BLOCKS",
-                                  32 << 20))
+    # cap is in BYTES actually retained (12 B/block + the per-contig
+    # counts vector each entry carries — 8 B x n_ref matters at
+    # assembly scale), default ~384 MB
+    gate_cap = 12 * int(os.environ.get("COVERM_TPU_COLD_QUEUE_BLOCKS",
+                                       32 << 20))
     queue = []
 
     def _dispatch_now(bt, bs, be, counts):
@@ -400,8 +403,14 @@ def scan_sample_fused(header, stream: FusedScanStream, layout, flag_filter,
             except Exception:  # best-effort: fall back to blocking
                 gate["thread"] = None
         if gate["thread"] is not None:
+            # copy single-chunk entries: they can be VIEWS into a whole
+            # decoded segment buffer, and queueing the view would pin
+            # hundreds of MB per segment for the gate's lifetime
+            if len(chunks) == 1:
+                bt, bs, be = bt.copy(), bs.copy(), be.copy()
             queue.append((bt, bs, be, counts))
-            gate["queued"] += bt.size
+            gate["queued"] += 12 * bt.size + (
+                counts.nbytes if counts is not None else 0)
             _flush_gate()
             return
         _dispatch_now(bt, bs, be, counts)

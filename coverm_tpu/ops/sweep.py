@@ -980,9 +980,18 @@ def dispatch_shape(layout: ReferenceLayout, tids, starts, ends,
     exact = _shape_key(B, n_seg, ee, need_hist, SPEC_HIST_BINS, len_mode,
                        trim_key, start_mode)
     with _shape_lock:
-        warm = exact in _warm_shapes or any(
+        # with reuse disabled, only the exact shape counts as warm (the
+        # dispatcher would block-compile it regardless of warm cousins)
+        warm = exact in _warm_shapes or (_reuse_enabled() and any(
             k[1:] == exact[1:] and B <= k[0] <= _REUSE_CAP * B
-            for k in _warm_shapes)
+            for k in _warm_shapes))
+        if not warm:
+            if exact in _inflight_shapes:
+                # someone else (another sample's gate, or _pick_shape's
+                # background spawn) is already compiling this shape —
+                # no kwargs, so the caller does not launch a duplicate
+                return False, None
+            _inflight_shapes.add(exact)
     # n_seg is already bucketed and _bucket is idempotent, so passing it
     # as prewarm's n_contigs reproduces the same kernel signature
     kwargs = dict(n_blocks=tids.size, n_contigs=n_seg, ee=ee,

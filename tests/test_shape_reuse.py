@@ -117,10 +117,10 @@ def test_cold_gate_queues_and_matches(tmp_path, monkeypatch):
     release = threading.Event()
     spawned = []
 
-    def fake_prewarm(**kw):
+    def fake_prewarm(*a, **kw):
         t = threading.Thread(target=release.wait)
         t.start()
-        spawned.append(kw)
+        spawned.append((a, kw))
         return t
 
     monkeypatch.setattr(sweep, "prewarm_sweep", fake_prewarm)
@@ -134,6 +134,9 @@ def test_cold_gate_queues_and_matches(tmp_path, monkeypatch):
         release.set()
     assert spawned, "gate never engaged"
     assert_scan_equal(cold, warm_ref)
+
+
+def test_coarse_dispatch_bit_identical(monkeypatch):
     """End to end: force a dispatch onto an 8x larger shape and compare
     against the numpy oracle — padding blocks must contribute nothing."""
     rng = np.random.default_rng(5)
